@@ -1,0 +1,102 @@
+"""Config-driven CLI, drop-in compatible with the reference's main.cpp.
+
+Usage:  python -m imageencoder_tpu <settings.conf> [--mode encode|decode|both]
+        [--backend numpy|jax] [--no-huffman]
+
+The settings file uses the reference's key=value schema (bin/ex*.conf run
+unchanged).  Mode detection follows main.cpp:34-52: image configs carry the
+full 8-key image schema; video encoder configs add gop/merange; video
+decoder configs carry encfile/decfile/motioncompensation.  The reference
+ships separate encoder/decoder binaries (-DENCODER/-DDECODER, main.cpp:10-17)
+or a combined build; --mode selects the equivalent behaviour (default both,
+like the combined build).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from .models.image import ImageDecoder, ImageEncoder
+from .models.video import VideoDecoder, VideoEncoder
+from .utils.config import ConfigReader
+from .utils.logger import Logger
+from .utils.quant import QuantMatrix
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="imageencoder_tpu", description=__doc__)
+    ap.add_argument("config", help="key=value settings file (reference schema)")
+    ap.add_argument("--mode", choices=["encode", "decode", "both"], default="both")
+    ap.add_argument("--backend", choices=["numpy", "jax"], default="numpy",
+                    help="numpy = bit-parity float64; jax = TPU fast path")
+    ap.add_argument("--no-huffman", action="store_true",
+                    help="disable the whole-stream Huffman pass")
+    args = ap.parse_args(argv)
+
+    c = ConfigReader()
+    if not c.read(args.config):
+        print(f"Error reading file '{args.config}': {c.error}", file=sys.stderr)
+        return 2
+    mode = c.detect_mode()
+    if mode == "invalid":
+        print(f"Error in settings! {c.error}", file=sys.stderr)
+        return 3
+
+    Logger.create(c.get("logfile"))
+    use_huffman = not args.no_huffman
+
+    if mode == "image":
+        quant = QuantMatrix.from_file(c.get("quantfile"))
+        w, h = int(c.get("width")), int(c.get("height"))
+        rle = bool(int(c.get("rle")))
+        if args.mode in ("encode", "both"):
+            t0 = time.perf_counter()
+            enc = ImageEncoder(c.get("rawfile"), c.get("encfile"), w, h, rle,
+                               quant, use_huffman=use_huffman,
+                               backend=args.backend)
+            enc.process()
+            enc.save_result()
+            Logger.write(f"Elapsed time: {1e3 * (time.perf_counter() - t0):.3f} ms")
+        if args.mode in ("decode", "both"):
+            t0 = time.perf_counter()
+            dec = ImageDecoder(c.get("encfile"), c.get("decfile"),
+                               backend=args.backend)
+            dec.process()
+            dec.save_result()
+            Logger.write(f"Elapsed time: {1e3 * (time.perf_counter() - t0):.3f} ms")
+        return 0
+
+    if mode == "video-encode":
+        quant = QuantMatrix.from_file(c.get("quantfile"))
+        t0 = time.perf_counter()
+        enc = VideoEncoder(c.get("rawfile"), c.get("encfile"),
+                           int(c.get("width")), int(c.get("height")),
+                           bool(int(c.get("rle"))), quant,
+                           int(c.get("gop")), int(c.get("merange")),
+                           use_huffman=use_huffman, backend=args.backend)
+        enc.process()
+        enc.save_result()
+        Logger.write(f"Elapsed time: {1e3 * (time.perf_counter() - t0):.3f} ms")
+        if "decfile" in c.values and args.mode in ("decode", "both"):
+            dec = VideoDecoder(c.get("encfile"), c.get("decfile"),
+                               motioncomp=bool(int(c.get("motioncompensation", "1"))),
+                               backend=args.backend)
+            dec.process()
+            dec.save_result()
+        return 0
+
+    # video-decode
+    t0 = time.perf_counter()
+    dec = VideoDecoder(c.get("encfile"), c.get("decfile"),
+                       motioncomp=bool(int(c.get("motioncompensation"))),
+                       backend=args.backend)
+    dec.process()
+    dec.save_result()
+    Logger.write(f"Elapsed time: {1e3 * (time.perf_counter() - t0):.3f} ms")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,244 @@
+"""Still-image encoder/decoder — the TPU-native re-design of the reference's
+ImageEncoder/ImageDecoder pipelines (ImageEncoder.cpp:52-175,
+ImageDecoder.cpp:55-122).
+
+Encode data-flow (batched; no per-block host loop):
+    [H,W] u8 --blockify--> [N,B,B] --(-128, DCT, /Q, round)--> int coeffs
+    --zigzag gather--> [N,K] --block_stats--> widths/counts
+    --block_fields + prefix-sum packer--> bitstream
+
+Decode data-flow:
+    header parse -> sequential offset-recovery walk (the only inherently
+    serial stage; variable-length block headers form a dependency chain,
+    reference ImageDecoder.cpp:88-113 keeps it serial too) -> fully parallel
+    coefficient gather -> iDCT batch -> deblockify.
+
+The compute stage runs on numpy float64 ("exact", bit-parity with the C++
+reference) or on JAX/TPU float32 ("fast"); both share the same packer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops import bitpack, rle
+from ..ops.bitpack import BitReader, BitWriter
+from ..ops.blockify import blockify, deblockify
+from ..ops.dct import clamp_to_u8, forward_transform, inverse_transform
+from ..ops.zigzag import zigzag_order
+from ..utils.bits import shift_signed
+from ..utils.logger import Logger
+from ..utils.quant import QuantMatrix
+from . import headers
+from .headers import read_image_header, write_image_header
+
+BLOCK_SIZE = 4  # dc::BlockSize (Block.hpp:13); other sizes supported via block_size=
+
+
+def encode_blocks(blocks_u8, quant: QuantMatrix, use_rle: bool,
+                  norm: str = "reference", backend: str = "numpy"):
+    """[N,B,B] u8 tiles -> (field values, field nbits) wire data.
+
+    The batched device half of the encoder: transform + stats + field
+    expansion. Returns numpy arrays ready for the bit packer.
+    """
+    b = blocks_u8.shape[-1]
+    zz = zigzag_order(b)
+    if backend == "jax":
+        import jax.numpy as jnp
+
+        blocks_dev = jnp.asarray(blocks_u8)
+        coeffs = forward_transform(blocks_dev, quant.as_float(np.float32),
+                                   norm, dtype=jnp.float32)
+        coeffs_zz = coeffs.reshape(coeffs.shape[0], b * b)[:, zz]
+        stats = rle.block_stats(coeffs_zz, use_rle)
+        vals, nbits = rle.block_fields(coeffs_zz, stats, use_rle)
+        return np.asarray(vals), np.asarray(nbits)
+    coeffs = forward_transform(np.asarray(blocks_u8), quant.as_float(), norm)
+    coeffs_zz = coeffs.reshape(coeffs.shape[0], b * b)[:, zz]
+    stats = rle.block_stats(coeffs_zz, use_rle)
+    return rle.block_fields(coeffs_zz, stats, use_rle)
+
+
+def encode_image(img: np.ndarray, quant: QuantMatrix, use_rle: bool = True,
+                 use_huffman: bool = False, norm: str = "reference",
+                 backend: str = "numpy", block_size: int = BLOCK_SIZE) -> bytes:
+    """Encode a [H,W] uint8 image to the reference wire format.
+
+    With use_huffman=False the stream leads with a '0' flag bit
+    (ImageEncoder.cpp:84-86); with True the whole inner stream is wrapped by
+    the Huffman layer (which falls back to the '0'+raw form if bigger).
+    """
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    assert h % block_size == 0 and w % block_size == 0
+
+    writer = BitWriter()
+    write_image_header(writer, quant, use_rle, w, h)
+    vals, nbits = encode_blocks(blockify(img, block_size), quant, use_rle,
+                                norm=norm, backend=backend)
+    writer.extend_fields(vals, nbits)
+    inner, _ = bitpack.pack_fields(np.array(writer.values, dtype=np.int64),
+                                   np.array(writer.nbits, dtype=np.int64))
+
+    if use_huffman:
+        from ..ops.huffman import huffman_encode
+
+        return huffman_encode(inner)
+    out = BitWriter()
+    out.put_bit(0)
+    data, _ = bitpack.pack_fields(
+        np.array(out.values + writer.values, dtype=np.int64),
+        np.array(out.nbits + writer.nbits, dtype=np.int64))
+    return data
+
+
+def walk_block_offsets(bits: np.ndarray, start_bit: int, n_blocks: int,
+                       use_rle: bool, block_size: int = BLOCK_SIZE):
+    """Sequential offset-recovery over variable-length block records.
+
+    Returns (payload_offsets [N], data_bits [N], n_payload [N], end_bit).
+    This is the decode-side serial dependency chain (SURVEY §3.2); a native
+    C++ walker (runtime/) replaces this Python loop on the hot path.
+    """
+    try:
+        from ..runtime.native import walk_offsets_native
+
+        return walk_offsets_native(bits, start_bit, n_blocks, use_rle, block_size)
+    except Exception:
+        pass
+
+    k = block_size * block_size
+    offs = np.empty(n_blocks, dtype=np.int64)
+    dbits = np.empty(n_blocks, dtype=np.int32)
+    counts = np.empty(n_blocks, dtype=np.int32)
+    pos = start_bit
+    bl = bits.tolist()  # python ints are much faster to index in a tight loop
+    nbits_total = len(bl)
+
+    def get(p, n):
+        v = 0
+        for i in range(n):
+            v = (v << 1) | (bl[p + i] if p + i < nbits_total else 0)
+        return v
+
+    for i in range(n_blocks):
+        b = get(pos, 4)
+        pos += 4
+        if use_rle:
+            ln = get(pos, b)
+            pos += b
+        else:
+            ln = k
+        offs[i] = pos
+        dbits[i] = b
+        counts[i] = ln
+        pos += b * ln
+    return offs, dbits, counts, pos
+
+
+def decode_blocks(bits: np.ndarray, start_bit: int, n_blocks: int,
+                  quant: QuantMatrix, use_rle: bool, norm: str = "reference",
+                  backend: str = "numpy", block_size: int = BLOCK_SIZE):
+    """Parse + inverse-transform all blocks. Returns ([N,B,B] u8, end_bit)."""
+    k = block_size * block_size
+    offs, dbits, counts, end = walk_block_offsets(bits, start_bit, n_blocks,
+                                                  use_rle, block_size)
+    # Parallel coefficient extraction: field (i, j) lives at offs[i]+j*dbits[i].
+    j = np.arange(k, dtype=np.int64)[None, :]
+    live = j < counts[:, None]
+    field_offs = offs[:, None] + j * dbits[:, None].astype(np.int64)
+    field_bits = np.where(live, dbits[:, None], 0)
+    raw = bitpack.read_fields(bits, field_offs.ravel(), field_bits.ravel())
+    coeffs_zz = shift_signed(raw.reshape(n_blocks, k),
+                             np.maximum(dbits[:, None], 1)) * live
+
+    # Un-zigzag into row-major [N, B, B].
+    zz = zigzag_order(block_size)
+    flat = np.zeros((n_blocks, k), dtype=np.int32)
+    flat[:, zz] = coeffs_zz
+    coeffs = flat.reshape(n_blocks, block_size, block_size)
+
+    if backend == "jax":
+        import jax.numpy as jnp
+
+        px = inverse_transform(jnp.asarray(coeffs), quant.as_float(np.float32),
+                               norm, dtype=jnp.float32)
+        return np.asarray(clamp_to_u8(px)), end
+    px = inverse_transform(coeffs, quant.as_float(), norm)
+    return clamp_to_u8(px), end
+
+
+def decode_image(data: bytes, norm: str = "reference", backend: str = "numpy",
+                 block_size: int = BLOCK_SIZE):
+    """Decode a reference-format stream back to a [H,W] uint8 image."""
+    bits = bitpack.to_bits(data)
+    if bits[0]:
+        from ..ops.huffman import huffman_decode
+
+        inner = huffman_decode(data)
+        bits = bitpack.to_bits(inner)
+        reader = BitReader(bits, position=0)
+    else:
+        reader = BitReader(bits, position=1)
+
+    quant, use_rle, w, h = read_image_header(reader, block_size)
+    n_blocks = (w // block_size) * (h // block_size)
+    blocks, _ = decode_blocks(reader.bits, reader.position, n_blocks, quant,
+                              use_rle, norm=norm, backend=backend,
+                              block_size=block_size)
+    return deblockify(blocks, h, w)
+
+
+@dataclass
+class ImageEncoder:
+    """Drop-in style driver mirroring dc::ImageEncoder (ImageEncoder.cpp)."""
+
+    source_file: str
+    dest_file: str
+    width: int
+    height: int
+    use_rle: bool
+    quant: QuantMatrix
+    use_huffman: bool = True
+    backend: str = "numpy"
+
+    def process(self) -> bool:
+        img = np.fromfile(self.source_file, dtype=np.uint8)
+        assert img.size == self.width * self.height, \
+            f"raw size {img.size} != {self.width}x{self.height}"
+        Logger.write("[ImageEncoder] Processing image...")
+        self._result = encode_image(img.reshape(self.height, self.width),
+                                    self.quant, self.use_rle,
+                                    use_huffman=self.use_huffman,
+                                    backend=self.backend)
+        return True
+
+    def save_result(self) -> None:
+        with open(self.dest_file, "wb") as f:
+            f.write(self._result)
+        raw = self.width * self.height
+        Logger.write(f"[ImageEncoder] Encoded size: {len(self._result)} bytes"
+                     f" => Ratio: {len(self._result) / raw * 100:.2f}%")
+
+
+@dataclass
+class ImageDecoder:
+    """Driver mirroring dc::ImageDecoder (ImageDecoder.cpp)."""
+
+    source_file: str
+    dest_file: str
+    backend: str = "numpy"
+
+    def process(self) -> bool:
+        with open(self.source_file, "rb") as f:
+            data = f.read()
+        Logger.write("[ImageDecoder] Processing image...")
+        self._result = decode_image(data, backend=self.backend)
+        return True
+
+    def save_result(self) -> None:
+        self._result.tofile(self.dest_file)
+        Logger.write(f"[ImageDecoder] Decoded size: {self._result.size} bytes")

@@ -1,0 +1,282 @@
+"""Whole-stream byte-level Huffman coding with fallback-if-bigger.
+
+Wire format (reference Huffman.cpp:36-46, 233-344, Huffman.hpp:139-141):
+
+  dict:    repeated groups of
+             [1-bit has-items = 1][7-bit group length][4-bit code length]
+             then per entry [8-bit symbol][code-length-bit code]
+           terminated by a single 0 bit.  (A leading 0 bit therefore doubles
+           as the "no Huffman" flag for the whole stream.)
+  payload: each input byte replaced by its code, MSB-first.
+  fallback: if the compressed stream is not strictly smaller than the input,
+           emit [0 bit][raw input bytes] instead (Huffman.cpp:329-341);
+           the shipped build then writes ceil((1+8n)/8) = n+1 bytes, with the
+           final partial byte zero (observed; buffers are zero-initialized).
+
+Differences from the reference (deliberate, documented):
+  * deterministic tree build: the reference's code assignment depends on
+    std::unordered_map iteration order (Huffman.cpp:269-276) and is not
+    reproducible across toolchains (SURVEY §2 quirks); we break ties by
+    (frequency, first-symbol) so our streams are byte-deterministic.  All
+    Huffman trees are optimal, so payload size matches the reference's to
+    within dict-serialization noise — and either decoder reads either stream.
+  * code lengths are limited to 15 bits and groups split at 127 entries:
+    the reference masks lengths to 4 bits and group sizes to 7 bits
+    (Huffman.cpp:40-42), silently corrupting streams that exceed them; we
+    adjust the code-length distribution (JPEG-style) instead.
+  * single-symbol histograms force the fallback: the reference emits a
+    zero-length code whose decode loops forever (Huffman.cpp:154-180).
+
+Encode is vectorized: device-friendly histogram, host tree build (256
+symbols), then a LUT gather + the shared prefix-sum bit packer.  Decode uses
+a byte-level FSM table (native C++ fast path in runtime/, numpy fallback).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from .bitpack import BitReader, BitWriter, pack_fields
+
+KEY_BITS = 8
+MAX_CODE_LEN = 15  # must fit the 4-bit dict header field
+MAX_GROUP = 127  # must fit the 7-bit group length field
+
+
+def code_lengths(freqs: np.ndarray) -> np.ndarray:
+    """Huffman code length per symbol (0 for absent symbols), max 15.
+
+    Deterministic: heap ties broken by smallest first-symbol.
+    """
+    heap = []  # (freq, tiebreak, id)
+    nodes = {}  # id -> (left_id, right_id) or symbol
+    next_id = 0
+    for sym in range(256):
+        f = int(freqs[sym])
+        if f > 0:
+            heapq.heappush(heap, (f, sym, next_id))
+            nodes[next_id] = sym
+            next_id += 1
+    n_syms = len(heap)
+    if n_syms < 2:
+        raise ValueError("need >= 2 distinct symbols")
+    while len(heap) > 1:
+        f1, t1, id1 = heapq.heappop(heap)
+        f2, t2, id2 = heapq.heappop(heap)
+        nodes[next_id] = (id1, id2)
+        heapq.heappush(heap, (f1 + f2, min(t1, t2), next_id))
+        next_id += 1
+
+    lengths = np.zeros(256, dtype=np.int32)
+    stack = [(heap[0][2], 0)]
+    while stack:
+        nid, depth = stack.pop()
+        node = nodes[nid]
+        if isinstance(node, tuple):
+            stack.append((node[0], depth + 1))
+            stack.append((node[1], depth + 1))
+        else:
+            lengths[node] = max(depth, 1)
+
+    if lengths.max() > MAX_CODE_LEN:
+        lengths = _limit_lengths(lengths, MAX_CODE_LEN)
+    return lengths
+
+
+def _limit_lengths(lengths: np.ndarray, cap: int) -> np.ndarray:
+    """JPEG-style adjust: fold over-long codes back under ``cap`` bits."""
+    hist = np.bincount(lengths[lengths > 0], minlength=64)
+    for ln in range(len(hist) - 1, cap, -1):
+        while hist[ln] > 0:
+            # Move a pair of codes at depth ln up: one to ln-1 is impossible
+            # directly; standard trick: find j < ln-1 with hist[j] > 0,
+            # split one code at j into two at j+1, retire two at ln to ln-1.
+            j = ln - 2
+            while j > 0 and hist[j] == 0:
+                j -= 1
+            hist[ln] -= 2
+            hist[ln - 1] += 1
+            hist[j + 1] += 2
+            hist[j] -= 1
+    # Reassign lengths: shortest codes to most frequent symbols (stable).
+    order = np.argsort(lengths, kind="stable")
+    present = order[lengths[order] > 0]
+    # sort present symbols by original length then symbol for determinism
+    new_lengths = np.zeros_like(lengths)
+    lens_sorted = np.repeat(np.arange(len(hist)), hist)
+    assert len(lens_sorted) == len(present)
+    new_lengths[present] = lens_sorted
+    return new_lengths
+
+
+def canonical_codes(lengths: np.ndarray):
+    """Assign canonical codes: shorter first, then by symbol. Returns (words, lengths)."""
+    words = np.zeros(256, dtype=np.uint32)
+    code = 0
+    prev_len = 0
+    for ln in range(1, int(lengths.max()) + 1 if lengths.any() else 1):
+        for sym in range(256):
+            if lengths[sym] == ln:
+                code <<= ln - prev_len
+                prev_len = ln
+                words[sym] = code
+                code += 1
+    return words, lengths
+
+
+def huffman_encode(inner: bytes) -> bytes:
+    """Compress ``inner`` (whole-byte stream); fallback to [0][raw] if bigger."""
+    data = np.frombuffer(inner, dtype=np.uint8)
+    freqs = np.bincount(data, minlength=256)
+    try:
+        lengths = code_lengths(freqs)
+    except ValueError:
+        return _fallback(inner)
+    words, lengths = canonical_codes(lengths)
+
+    # Serialize dict: groups by code length, LONGEST first (Huffman.cpp:272
+    # sorts descending by length), entries within a group by symbol.
+    w = BitWriter()
+    for ln in range(int(lengths.max()), 0, -1):
+        syms = np.nonzero(lengths == ln)[0]
+        for start in range(0, len(syms), MAX_GROUP):
+            chunk = syms[start:start + MAX_GROUP]
+            if len(chunk) == 0:
+                continue
+            w.put(8, 0x80 | len(chunk))  # 1-bit has-items + 7-bit length
+            w.put(4, ln)
+            for s in chunk:
+                w.put(KEY_BITS, int(s))
+                w.put(ln, int(words[s]))
+    w.put_bit(0)  # stop header
+
+    # Payload: LUT gather + shared packer.
+    pay_vals = words[data].astype(np.int64)
+    pay_bits = lengths[data].astype(np.int64)
+    all_vals = np.concatenate([np.asarray(w.values, dtype=np.int64), pay_vals])
+    all_bits = np.concatenate([np.asarray(w.nbits, dtype=np.int64), pay_bits])
+    out, total_bits = pack_fields(all_vals, all_bits)
+
+    if len(inner) < (total_bits + 7) // 8:
+        return _fallback(inner)
+    return out
+
+
+def _fallback(inner: bytes) -> bytes:
+    """[0 bit][raw bytes], padded to len(inner)+1 bytes (shipped-build parity)."""
+    data = np.frombuffer(inner, dtype=np.uint8)
+    vals = np.concatenate([[0], data]).astype(np.int64)
+    nbits = np.concatenate([[1], np.full(len(data), 8)]).astype(np.int64)
+    out, _ = pack_fields(vals, nbits, pad_to_bytes=len(inner) + 1)
+    return out
+
+
+def parse_dict(reader: BitReader):
+    """Read dict groups; returns list of (symbol, word, length). Empty if flag bit 0."""
+    entries = []
+    while reader.get_bit():
+        seq_len = reader.get(7)
+        bit_len = reader.get(4)
+        for _ in range(seq_len):
+            sym = reader.get(KEY_BITS)
+            word = reader.get(bit_len)
+            entries.append((sym, word, bit_len))
+    return entries
+
+
+def _build_tree(entries):
+    """Code tree as arrays: children[node][bit] -> node (-1 absent), symbol[node]."""
+    children = [[-1, -1]]
+    symbol = [-1]
+    for sym, word, ln in entries:
+        node = 0
+        for k in range(ln - 1, -1, -1):
+            bit = (word >> k) & 1
+            if children[node][bit] == -1:
+                children.append([-1, -1])
+                symbol.append(-1)
+                children[node][bit] = len(children) - 1
+            node = children[node][bit]
+        symbol[node] = sym
+    return children, symbol
+
+
+def _build_fsm(entries):
+    """Byte-level FSM over the code tree: T[state, byte] -> (next, nsym, syms[8])."""
+    children, symbol = _build_tree(entries)
+    n = len(children)
+    next_state = np.zeros((n, 256), dtype=np.int32)
+    n_out = np.zeros((n, 256), dtype=np.int8)
+    out_syms = np.zeros((n, 256, 8), dtype=np.uint8)
+    for state in range(n):
+        for byte in range(256):
+            node = state
+            outs = []
+            for k in range(7, -1, -1):
+                bit = (byte >> k) & 1
+                nxt = children[node][bit]
+                if nxt == -1:
+                    # Invalid path (can't happen with full trees from the
+                    # reference; incomplete canonical trees stall at root).
+                    node = 0
+                    continue
+                node = nxt
+                if symbol[node] >= 0:
+                    outs.append(symbol[node])
+                    node = 0
+            next_state[state, byte] = node
+            n_out[state, byte] = len(outs)
+            out_syms[state, byte, :len(outs)] = outs
+    return next_state, n_out, out_syms
+
+
+def huffman_decode(data: bytes) -> bytes:
+    """Decompress a stream whose first bit is 1 (dict present).
+
+    Decodes every bit to the end of the buffer, like the reference
+    (Huffman.cpp:376-383) — trailing padding may decode to extra symbols,
+    which downstream parsing ignores.
+    """
+    reader = BitReader(data)
+    entries = parse_dict(reader)
+    if not entries:
+        raise ValueError("huffman_decode called on a stream without a dict")
+
+    try:
+        from ..runtime.native import huffman_fsm_decode_native
+
+        return huffman_fsm_decode_native(data, reader.position, entries)
+    except Exception:
+        pass
+
+    next_state, n_out, out_syms = _build_fsm(entries)
+    tree_children, tree_symbol = _build_tree(entries)
+    bits = reader.bits
+    pos = reader.position
+
+    # Consume bits one at a time until byte alignment, then switch to the FSM.
+    prefix_syms = []
+    node = 0
+    while pos % 8 != 0 and pos < len(bits):
+        nxt = tree_children[node][bits[pos]]
+        pos += 1
+        if nxt == -1:
+            node = 0
+            continue
+        node = nxt
+        if tree_symbol[node] >= 0:
+            prefix_syms.append(tree_symbol[node])
+            node = 0
+
+    # FSM state ids equal tree node ids (identical insertion order).
+    state = node
+    byte_stream = np.frombuffer(data, dtype=np.uint8)[pos // 8:]
+    outs: list[int] = []
+    for byte in byte_stream.tolist():  # sequential walk; native path replaces this
+        c = n_out[state, byte]
+        if c:
+            outs.extend(out_syms[state, byte, :c])
+        state = next_state[state, byte]
+    return (np.asarray(prefix_syms + outs, dtype=np.uint8)).tobytes()

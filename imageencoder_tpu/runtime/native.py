@@ -1,0 +1,126 @@
+"""ctypes loader for the native C++ runtime (serial hot loops).
+
+The TPU compute path is JAX/Pallas; the host-side serial stages — decode
+offset recovery and the Huffman FSM walk — are implemented in C++
+(runtime/native/runtime.cpp) and loaded here.  Every entry point has a pure
+numpy/Python fallback in the calling module, so the framework degrades
+gracefully when the shared library has not been built.
+
+Build: ``python -m imageencoder_tpu.runtime.build`` (or it auto-builds on
+first import if a compiler is available).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    so = pathlib.Path(__file__).parent / "native" / "libier_runtime.so"
+    if not so.exists():
+        try:
+            from .build import build
+
+            build()
+        except Exception:
+            return None
+    if not so.exists():
+        return None
+    lib = ctypes.CDLL(str(so))
+    lib.walk_offsets.restype = ctypes.c_longlong
+    lib.walk_offsets.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.huffman_fsm_decode.restype = ctypes.c_longlong
+    lib.huffman_fsm_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong]
+    lib.pack_fields.restype = ctypes.c_longlong
+    lib.pack_fields.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_longlong, ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong]
+    _LIB = lib
+    return lib
+
+
+def walk_offsets_native(bits: np.ndarray, start_bit: int, n_blocks: int,
+                        use_rle: bool, block_size: int):
+    """Native decode offset-recovery walk over packed BYTES (not the bit array)."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("native runtime not built")
+    data = np.packbits(bits)
+    offs = np.empty(n_blocks, dtype=np.int64)
+    dbits = np.empty(n_blocks, dtype=np.int32)
+    counts = np.empty(n_blocks, dtype=np.int32)
+    end = lib.walk_offsets(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        int(start_bit), int(n_blocks), int(bool(use_rle)), int(block_size),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        dbits.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if end < 0:
+        raise ValueError("native walk_offsets failed")
+    return offs, dbits, counts, int(end)
+
+
+def huffman_fsm_decode_native(data: bytes, start_bit: int, entries) -> bytes:
+    lib = _load()
+    if lib is None:
+        raise ImportError("native runtime not built")
+    syms = np.array([e[0] for e in entries], dtype=np.int32)
+    words = np.array([e[1] for e in entries], dtype=np.int32)
+    lens = np.array([e[2] for e in entries], dtype=np.int32)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    # Worst case: every bit is a 1-bit code.
+    out = np.empty(len(data) * 8 + 8, dtype=np.uint8)
+    n = lib.huffman_fsm_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        int(start_bit),
+        syms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(entries),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(out))
+    if n < 0:
+        raise ValueError("native huffman decode failed")
+    return out[:n].tobytes()
+
+
+def pack_fields_native(values: np.ndarray, nbits: np.ndarray,
+                       pad_to_bytes: int | None = None):
+    lib = _load()
+    if lib is None:
+        raise ImportError("native runtime not built")
+    values = np.ascontiguousarray(values, dtype=np.int64)
+    nbits32 = np.ascontiguousarray(nbits, dtype=np.int32)
+    total_bits = int(np.sum(nbits32, dtype=np.int64))
+    nbytes = (total_bits + 7) // 8
+    if pad_to_bytes is not None:
+        nbytes = max(nbytes, pad_to_bytes)
+    out = np.zeros(nbytes, dtype=np.uint8)
+    rc = lib.pack_fields(
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nbits32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(values),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nbytes)
+    if rc < 0:
+        raise ValueError("native pack_fields failed")
+    return out.tobytes(), total_bits
+
+
+def available() -> bool:
+    return _load() is not None

@@ -1,0 +1,140 @@
+// Native host runtime for the TPU codec: the three inherently-serial hot
+// loops that sit outside the JAX/Pallas compute path.
+//
+//   * walk_offsets       — decode-side offset recovery over variable-length
+//                          block records (the serial chain of SURVEY §3.2;
+//                          reference keeps this serial too,
+//                          ImageDecoder.cpp:88-113).
+//   * huffman_fsm_decode — whole-stream Huffman bit-walk
+//                          (reference Huffman.cpp:355-402).
+//   * pack_fields        — MSB-first field packer (reference
+//                          BitStream.cpp:61-77), used as the host fast path
+//                          when the vectorized numpy packer is not preferred.
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC runtime.cpp -o libier_runtime.so
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// MSB-first bit reader over a byte buffer; reads past the end return 0
+// (reference BitStream.cpp:14-28).
+struct BitReader {
+    const uint8_t* data;
+    int64_t nbits;
+    int64_t pos;
+
+    inline uint32_t get(int n) {
+        uint32_t v = 0;
+        for (int i = 0; i < n; i++) {
+            uint32_t bit = 0;
+            if (pos < nbits) {
+                bit = (data[pos >> 3] >> (7 - (pos & 7))) & 1u;
+            }
+            v = (v << 1) | bit;
+            pos++;
+        }
+        return v;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns the bit position after the last block, or -1 on error.
+int64_t walk_offsets(const uint8_t* data, int64_t nbytes, int64_t start_bit,
+                     int64_t n_blocks, int use_rle, int block_size,
+                     int64_t* out_offsets, int32_t* out_bits,
+                     int32_t* out_counts) {
+    BitReader r{data, nbytes * 8, start_bit};
+    const int64_t k = (int64_t)block_size * block_size;
+    for (int64_t i = 0; i < n_blocks; i++) {
+        const uint32_t b = r.get(4);
+        const int64_t count = use_rle ? (int64_t)r.get((int)b) : k;
+        out_offsets[i] = r.pos;
+        out_bits[i] = (int32_t)b;
+        out_counts[i] = (int32_t)count;
+        r.pos += (int64_t)b * count;
+    }
+    return r.pos;
+}
+
+// Decodes all bits from start_bit to the end of the buffer through the code
+// tree defined by (syms, words, lens). Returns the number of output bytes,
+// or -1 if out_cap would be exceeded.
+int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
+                           int64_t start_bit, const int32_t* syms,
+                           const int32_t* words, const int32_t* lens,
+                           int n_entries, uint8_t* out, int64_t out_cap) {
+    // Build the code tree as flat arrays (node 0 = root).
+    std::vector<int32_t> child;  // 2 per node
+    std::vector<int32_t> symbol;
+    child.assign(2, -1);
+    symbol.assign(1, -1);
+    for (int e = 0; e < n_entries; e++) {
+        int32_t node = 0;
+        for (int k = lens[e] - 1; k >= 0; k--) {
+            const int bit = (words[e] >> k) & 1;
+            if (child[node * 2 + bit] < 0) {
+                child[node * 2 + bit] = (int32_t)symbol.size();
+                child.push_back(-1);
+                child.push_back(-1);
+                symbol.push_back(-1);
+            }
+            node = child[node * 2 + bit];
+        }
+        symbol[node] = syms[e];
+    }
+
+    const int64_t nbits = nbytes * 8;
+    int64_t pos = start_bit;
+    int64_t n_out = 0;
+    int32_t node = 0;
+    while (pos < nbits) {
+        const int bit = (data[pos >> 3] >> (7 - (pos & 7))) & 1;
+        pos++;
+        const int32_t nxt = child[node * 2 + bit];
+        if (nxt < 0) {
+            node = 0;  // invalid path: reset (cannot happen on valid streams)
+            continue;
+        }
+        node = nxt;
+        if (symbol[node] >= 0) {
+            if (n_out >= out_cap) return -1;
+            out[n_out++] = (uint8_t)symbol[node];
+            node = 0;
+        }
+    }
+    return n_out;
+}
+
+// MSB-first packer: each field's low nbits[i] bits of values[i], concatenated.
+// out must be zeroed by the caller. Returns 0, or -1 if out_cap is too small.
+int64_t pack_fields(const int64_t* values, const int32_t* nbits, int64_t m,
+                    uint8_t* out, int64_t out_cap) {
+    uint64_t acc = 0;  // bit accumulator, MSB-aligned fill
+    int na = 0;        // bits in accumulator
+    int64_t byte_pos = 0;
+    for (int64_t i = 0; i < m; i++) {
+        const int b = nbits[i];
+        if (b == 0) continue;
+        const uint64_t v = (uint64_t)values[i] & ((b >= 64) ? ~0ull : ((1ull << b) - 1));
+        acc = (acc << b) | v;
+        na += b;
+        while (na >= 8) {
+            if (byte_pos >= out_cap) return -1;
+            out[byte_pos++] = (uint8_t)(acc >> (na - 8));
+            na -= 8;
+        }
+    }
+    if (na > 0) {
+        if (byte_pos >= out_cap) return -1;
+        out[byte_pos++] = (uint8_t)((acc << (8 - na)) & 0xFF);
+    }
+    return 0;
+}
+
+}  // extern "C"
