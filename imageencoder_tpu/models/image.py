@@ -49,12 +49,11 @@ def encode_blocks(blocks_u8, quant: QuantMatrix, use_rle: bool,
     if backend == "jax":
         import jax.numpy as jnp
 
-        blocks_dev = jnp.asarray(blocks_u8)
-        coeffs = forward_transform(blocks_dev, quant.as_float(np.float32),
-                                   norm, dtype=jnp.float32)
-        coeffs_zz = coeffs.reshape(coeffs.shape[0], b * b)[:, zz]
-        stats = rle.block_stats(coeffs_zz, use_rle)
-        vals, nbits = rle.block_fields(coeffs_zz, stats, use_rle)
+        from ..ops.pipeline import make_encode_fields_from_blocks
+
+        fn = make_encode_fields_from_blocks(b, use_rle, norm)
+        vals, nbits = fn(jnp.asarray(blocks_u8),
+                         jnp.asarray(quant.as_float(np.float32)))
         return np.asarray(vals), np.asarray(nbits)
     coeffs = forward_transform(np.asarray(blocks_u8), quant.as_float(), norm)
     coeffs_zz = coeffs.reshape(coeffs.shape[0], b * b)[:, zz]
@@ -141,8 +140,15 @@ def walk_block_offsets(bits: np.ndarray, start_bit: int, n_blocks: int,
 
 def decode_blocks(bits: np.ndarray, start_bit: int, n_blocks: int,
                   quant: QuantMatrix, use_rle: bool, norm: str = "reference",
-                  backend: str = "numpy", block_size: int = BLOCK_SIZE):
-    """Parse + inverse-transform all blocks. Returns ([N,B,B] u8, end_bit)."""
+                  backend: str = "numpy", block_size: int = BLOCK_SIZE,
+                  residual: bool = False):
+    """Parse + inverse-transform all blocks. Returns ([N,B,B] u8, end_bit).
+
+    With residual=True, returns the raw float IDCT output (the reference's
+    ``expanded`` array incl. the +128 restore, Block.cpp:163-177) WITHOUT
+    the clamp-to-byte — the P-frame residual path (Frame.cpp:107-117) adds
+    it onto the motion prediction before clamping.
+    """
     k = block_size * block_size
     offs, dbits, counts, end = walk_block_offsets(bits, start_bit, n_blocks,
                                                   use_rle, block_size)
@@ -155,18 +161,32 @@ def decode_blocks(bits: np.ndarray, start_bit: int, n_blocks: int,
     coeffs_zz = shift_signed(raw.reshape(n_blocks, k),
                              np.maximum(dbits[:, None], 1)) * live
 
+    if backend == "jax" and not residual:
+        import jax.numpy as jnp
+
+        from ..ops.pipeline import make_decode_blocks
+
+        fn = make_decode_blocks(block_size, norm)
+        px = fn(jnp.asarray(coeffs_zz.astype(np.int32)),
+                jnp.asarray(quant.as_float(np.float32)))
+        return np.asarray(px), end
+
     # Un-zigzag into row-major [N, B, B].
     zz = zigzag_order(block_size)
     flat = np.zeros((n_blocks, k), dtype=np.int32)
     flat[:, zz] = coeffs_zz
     coeffs = flat.reshape(n_blocks, block_size, block_size)
 
-    if backend == "jax":
-        import jax.numpy as jnp
+    if residual:
+        if backend == "jax":
+            import jax.numpy as jnp
 
-        px = inverse_transform(jnp.asarray(coeffs), quant.as_float(np.float32),
-                               norm, dtype=jnp.float32)
-        return np.asarray(clamp_to_u8(px)), end
+            px = inverse_transform(jnp.asarray(coeffs),
+                                   quant.as_float(np.float32), norm,
+                                   dtype=jnp.float32)
+            return np.asarray(px, dtype=np.float64), end
+        return inverse_transform(coeffs, quant.as_float(), norm), end
+
     px = inverse_transform(coeffs, quant.as_float(), norm)
     return clamp_to_u8(px), end
 

@@ -1,16 +1,288 @@
 """GOP / motion-compensated video codec (VideoEncoder/VideoDecoder parity).
 
-Implemented in the video milestone; see SURVEY §3.3/§3.4.
+Stream layout (VideoEncoder.cpp:64-91, VideoBase.cpp:45-86):
+
+    [huffman wrap] [5-bit quant len + quant] [1-bit rle] [15-bit w] [15-bit h]
+    [15-bit frame_count] [15-bit gop] [15-bit merange]
+    then frames bit-contiguous, each:
+      I-frame (f % gop == 0, VideoBase.hpp:32): 4x4 blocks exactly like an
+        image payload, no header (Frame.cpp:130-159)
+      P-frame: per-MacroBlock motion vectors, 2 x MVEC_BITS signed bits each
+        (Block.cpp:416-423, MVEC_BITS = bits_needed(merange), VideoBase.cpp:42),
+        then the residual coded exactly like an I-frame (Frame.cpp:160-243).
+
+Input video is YUV420p; only Y is coded, UV is skipped on encode and filled
+with 0x80 on decode (VideoBase.cpp:39-40, Frame.cpp:121-124).
+
+Reference-parity reconstruction quirks replicated deliberately:
+  * the encoder does NOT reconstruct I-frames — the next P-frame's motion
+    search references the RAW I-frame pixels (Frame.cpp:130-159 never calls
+    IDCT), while the decoder references decoded pixels: the codec has
+    encoder/decoder drift by design (chronicled in reference doc/video),
+  * P-frames ARE reconstructed in place: prediction window + dequantized
+    residual, clamped (Frame.cpp:210-242, Block.cpp:111-119),
+  * the residual is coded with the same -128 bias as pixels
+    (SUBTRACT_128 applies to residual blocks too, Block.cpp:139-153),
+  * motion vectors keep unclamped offsets; window fetches clamp
+    (ImageBase.cpp:253-254).
+
+TPU-native formulation: each frame's blocks are one batched transform; the
+motion search is a fixed-depth batched gather+reduction (ops/motion.py); the
+serial part is only the frame-to-frame reconstruction carry inside a GOP.
+GOPs are fully independent (each starts with an I-frame) — the multi-chip
+axis (parallel/).
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 
-class VideoEncoder:  # pragma: no cover - placeholder until video milestone
-    def __init__(self, *a, **k):
-        raise NotImplementedError("video pipeline lands in a later milestone")
+import numpy as np
+
+from ..ops import bitpack, rle
+from ..ops.bitpack import BitReader, BitWriter
+from ..ops.blockify import blockify, deblockify
+from ..ops.dct import clamp_to_u8, forward_transform, inverse_transform
+from ..ops.motion import MACRO, find_motion, macro_grid, predict_image
+from ..ops.zigzag import zigzag_order
+from ..utils.bits import bits_needed, shift_signed
+from ..utils.logger import Logger
+from ..utils.quant import QuantMatrix
+from . import headers
+from .headers import (VideoParams, read_image_header, read_video_params,
+                      write_image_header, write_video_params)
+from .image import BLOCK_SIZE, decode_blocks, encode_blocks, walk_block_offsets
+
+UV_FILL = 0x80  # dc::VIDEO_UV_FILL (Frame.hpp:12)
 
 
-class VideoDecoder:  # pragma: no cover - placeholder until video milestone
-    def __init__(self, *a, **k):
-        raise NotImplementedError("video pipeline lands in a later milestone")
+def mvec_bits(merange: int) -> int:
+    """MVEC_BIT_SIZE = bits_needed(int16(merange)) (VideoBase.cpp:42)."""
+    return int(bits_needed(np.int16(merange)))
+
+
+def split_yuv420(data: bytes, width: int, height: int):
+    """[F] list of Y planes [H,W]; UV bytes are skipped (VideoBase.cpp:39-40)."""
+    y_size = width * height
+    frame_size = y_size + y_size // 2
+    n = len(data) // frame_size
+    arr = np.frombuffer(data, dtype=np.uint8, count=n * frame_size)
+    arr = arr.reshape(n, frame_size)
+    return arr[:, :y_size].reshape(n, height, width).copy()
+
+
+def _frame_fields(frame_u8, quant, use_rle, norm, backend):
+    """Encode one frame's 4x4 blocks to (vals, nbits) wire fields."""
+    return encode_blocks(blockify(frame_u8, BLOCK_SIZE), quant, use_rle,
+                         norm=norm, backend=backend)
+
+
+def _residual_fields_and_recon(residual, pred, quant, use_rle, norm, backend):
+    """Encode a residual image and return (vals, nbits, reconstructed frame).
+
+    residual: [H,W] float64 (cur - pred); pred: [H,W] uint8.
+    Reconstruction = clamp(pred + dequantized residual) (Block.cpp:111-119),
+    mirroring copyMacroblockToMatchingMicroblocks (ImageBase.cpp:266-306)
+    which encodes then immediately decodes each residual block.
+    """
+    blocks = blockify(residual, BLOCK_SIZE)
+    if backend == "jax":
+        import jax.numpy as jnp
+
+        # Fast path: float32 transform on device.
+        coeffs = forward_transform(jnp.asarray(blocks), quant.as_float(np.float32),
+                                   norm, dtype=jnp.float32)
+        zz = zigzag_order(BLOCK_SIZE)
+        czz = np.asarray(coeffs).reshape(coeffs.shape[0], -1)[:, zz]
+        stats = rle.block_stats(czz, use_rle)
+        vals, nbits = rle.block_fields(czz, stats, use_rle)
+        expanded = np.asarray(inverse_transform(
+            jnp.asarray(coeffs), quant.as_float(np.float32), norm,
+            dtype=jnp.float32))
+    else:
+        coeffs = forward_transform(blocks, quant.as_float(), norm)
+        zz = zigzag_order(BLOCK_SIZE)
+        czz = coeffs.reshape(coeffs.shape[0], -1)[:, zz]
+        stats = rle.block_stats(czz, use_rle)
+        vals, nbits = rle.block_fields(czz, stats, use_rle)
+        expanded = inverse_transform(coeffs, quant.as_float(), norm)
+
+    h, w = residual.shape
+    expanded_img = deblockify(expanded, h, w)
+    recon = clamp_to_u8(pred.astype(np.float64) + expanded_img)
+    return vals, nbits, recon
+
+
+def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
+                 use_rle: bool, gop: int, merange: int,
+                 use_huffman: bool = True, norm: str = "reference",
+                 backend: str = "numpy", ref_mode: str = "raw") -> bytes:
+    """Encode a YUV420p byte stream to the reference video wire format.
+
+    ref_mode selects the motion-reference policy:
+      * "raw"  (default): every P-frame references the RAW previous frame.
+        This is the behaviour of the SHIPPED reference binaries, verified
+        bit-exactly by experiment (a video where frame2 == frame1 encodes
+        frame2 with an all-zero residual, proving the encoder's reference
+        was the raw frame1) — and it makes every frame's encode
+        independent: no sequential carry, the whole GOP batches on TPU.
+      * "recon": P-frames reference the previous frame's reconstruction
+        (prediction + dequantized residual), the semantics written in the
+        shipped *source* (Frame.cpp:210-242 overwrites the frame buffer).
+        The shipped binaries demonstrably do not do this — they appear to
+        be built from an older revision.  Reconstruction tracks the decoder
+        more closely, so this mode decodes at higher PSNR; streams remain
+        format-compatible either way (the wire carries no reference state).
+    """
+    assert width % BLOCK_SIZE == 0 and height % BLOCK_SIZE == 0
+    gop = max(1, gop)
+    frames = split_yuv420(data, width, height)
+    n_frames = len(frames)
+    mb = mvec_bits(merange)
+
+    writer = BitWriter()
+    write_image_header(writer, quant, use_rle, width, height)
+    write_video_params(writer, VideoParams(n_frames, gop, merange))
+
+    ref: np.ndarray | None = None  # previous frame (raw, or recon P)
+    for f in range(n_frames):
+        cur = frames[f]
+        if f % gop == 0:
+            vals, nbits = _frame_fields(cur, quant, use_rle, norm, backend)
+            writer.extend_fields(vals.ravel(), nbits.ravel())
+            ref = cur  # never reconstructed (Frame.cpp:130-159) — raw
+        else:
+            mvec, _ = find_motion(cur, ref, merange)
+            pred = predict_image(ref, mvec, height, width)
+            residual = cur.astype(np.float64) - pred.astype(np.float64)
+            vals, nbits, recon = _residual_fields_and_recon(
+                residual, pred, quant, use_rle, norm, backend)
+            # All mvecs first (Frame.cpp:210-229), masked to MVEC_BITS.
+            mask = (1 << mb) - 1
+            mv = np.empty(mvec.shape[0] * 2, dtype=np.int64)
+            mv[0::2] = mvec[:, 0] & mask
+            mv[1::2] = mvec[:, 1] & mask
+            writer.extend_fields(mv, np.full(mv.shape[0], mb, dtype=np.int64))
+            writer.extend_fields(vals.ravel(), nbits.ravel())
+            ref = cur if ref_mode == "raw" else recon
+
+    inner, _ = bitpack.pack_fields(np.array(writer.values, dtype=np.int64),
+                                   np.array(writer.nbits, dtype=np.int64))
+    if use_huffman:
+        from ..ops.huffman import huffman_encode
+
+        return huffman_encode(inner)
+    out = BitWriter()
+    out.put_bit(0)
+    data_out, _ = bitpack.pack_fields(
+        np.array(out.values + writer.values, dtype=np.int64),
+        np.array(out.nbits + writer.nbits, dtype=np.int64))
+    return data_out
+
+
+def decode_video(data: bytes, motioncomp: bool = True,
+                 norm: str = "reference", backend: str = "numpy"):
+    """Decode a video stream. Returns (yuv420 bytes, VideoParams, (w, h))."""
+    bits = bitpack.to_bits(data)
+    if bits[0]:
+        from ..ops.huffman import huffman_decode
+
+        inner = huffman_decode(data)
+        reader = BitReader(bitpack.to_bits(inner), position=0)
+    else:
+        reader = BitReader(bits, position=1)
+
+    quant, use_rle, width, height = read_image_header(reader, BLOCK_SIZE)
+    params = read_video_params(reader)
+    mb = mvec_bits(params.merange)
+    n_micro = (width // BLOCK_SIZE) * (height // BLOCK_SIZE)
+    n_macro = (width // MACRO) * (height // MACRO)
+    y_size = width * height
+    uv = np.full(y_size // 2, UV_FILL, dtype=np.uint8)
+
+    out = []
+    ref: np.ndarray | None = None
+    pos = reader.position
+    for f in range(params.frame_count):
+        if f % max(1, params.gop) == 0:
+            blocks, pos = decode_blocks(reader.bits, pos, n_micro, quant,
+                                        use_rle, norm=norm, backend=backend)
+            frame = deblockify(blocks, height, width)
+        else:
+            # Fixed-width mvec records -> one vectorized extraction.
+            offs = pos + np.arange(2 * n_macro, dtype=np.int64) * mb
+            raw = bitpack.read_fields(reader.bits, offs,
+                                      np.full(2 * n_macro, mb, dtype=np.int64))
+            mv = shift_signed(raw, mb).reshape(n_macro, 2)
+            pos = int(offs[-1] + mb)
+            pred = predict_image(ref, mv, height, width)
+            blocks, pos = decode_blocks(reader.bits, pos, n_micro, quant,
+                                        use_rle, norm=norm, backend=backend,
+                                        residual=True)
+            if motioncomp:
+                expanded = deblockify(blocks, height, width)
+                frame = clamp_to_u8(pred.astype(np.float64) + expanded)
+            else:
+                frame = pred
+        out.append(frame.reshape(-1))
+        out.append(uv)
+        ref = frame
+    return b"".join(a.tobytes() for a in out), params, (width, height)
+
+
+@dataclass
+class VideoEncoder:
+    """Driver mirroring dc::VideoEncoder (VideoEncoder.cpp)."""
+
+    source_file: str
+    dest_file: str
+    width: int
+    height: int
+    use_rle: bool
+    quant: QuantMatrix
+    gop: int
+    merange: int
+    use_huffman: bool = True
+    backend: str = "numpy"
+    ref_mode: str = "raw"
+
+    def process(self) -> bool:
+        with open(self.source_file, "rb") as f:
+            data = f.read()
+        Logger.write("[VideoEncoder] Processing video...")
+        self._raw_size = len(data)
+        self._result = encode_video(data, self.width, self.height, self.quant,
+                                    self.use_rle, self.gop, self.merange,
+                                    use_huffman=self.use_huffman,
+                                    backend=self.backend,
+                                    ref_mode=self.ref_mode)
+        return True
+
+    def save_result(self) -> None:
+        with open(self.dest_file, "wb") as f:
+            f.write(self._result)
+        Logger.write(f"[VideoEncoder] Encoded size: {len(self._result)} bytes"
+                     f" => Ratio: {len(self._result) / self._raw_size * 100:.2f}%")
+
+
+@dataclass
+class VideoDecoder:
+    """Driver mirroring dc::VideoDecoder (VideoDecoder.cpp)."""
+
+    source_file: str
+    dest_file: str
+    motioncomp: bool = True
+    backend: str = "numpy"
+
+    def process(self) -> bool:
+        with open(self.source_file, "rb") as f:
+            data = f.read()
+        Logger.write("[VideoDecoder] Processing video...")
+        self._result, self._params, _ = decode_video(
+            data, motioncomp=self.motioncomp, backend=self.backend)
+        return True
+
+    def save_result(self) -> None:
+        with open(self.dest_file, "wb") as f:
+            f.write(self._result)
+        Logger.write(f"[VideoDecoder] Decoded size: {len(self._result)} bytes")

@@ -38,6 +38,12 @@ def pack_fields(values, nbits, pad_to_bytes: int | None = None) -> tuple[bytes, 
     """
     values = np.asarray(values, dtype=np.int64).ravel()
     nbits = np.asarray(nbits, dtype=np.int64).ravel()
+    try:  # native C++ fast path (identical semantics; see runtime/native)
+        from ..runtime.native import pack_fields_native
+
+        return pack_fields_native(values, nbits, pad_to_bytes)
+    except Exception:
+        pass
     offsets = np.cumsum(nbits) - nbits
     total_bits = int(offsets[-1] + nbits[-1]) if len(nbits) else 0
 

@@ -1,0 +1,199 @@
+"""Single-jit TPU encode pipeline: image -> wire-format bit fields.
+
+This is the flagship device path.  Where the reference runs a per-block host
+loop (ImageEncoder.cpp:121-146: DCT -> quantize -> RLE -> stream per 4x4
+block), the TPU formulation traces ONE jitted function over the whole image:
+
+    [H,W] u8 --reshape--> [N,B,B] --(x-128, D@X@D^T, /Q, round)--> int32
+    --zigzag gather--> [N,K] --stats--> widths/counts --> (vals, nbits) fields
+
+All stages are batched tensor ops: the DCT is two batched matmuls (MXU), the
+RLE statistics are integer compares/reductions (VPU), and the field expansion
+is a masked broadcast.  Nothing here depends on data values at trace time, so
+XLA fuses the whole pipeline into a handful of kernels.
+
+The (vals, nbits) field arrays feed either the host bit packer
+(ops/bitpack.py, native C++ fast path) or the on-device packer
+(ops/device_pack.py).
+
+Numerics: float32 matmuls with Precision.HIGHEST.  Quantized coefficients can
+differ from the float64 bit-parity path (ops/dct.py) by +-1 on rounding-tie
+coefficients (~0.1%); streams remain decoder-compatible either way.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+
+from .dct import dct_matrix
+from .zigzag import zigzag_order
+
+
+def _bit_length(xp, x, maxbits: int = 16):
+    """bit_length(x) for 0 <= x < 2**maxbits as integer compares (exact on TPU)."""
+    total = xp.zeros(x.shape, dtype=xp.int32)
+    for k in range(maxbits):
+        total = total + (x >= (1 << k)).astype(xp.int32)
+    return total
+
+
+def _bits_needed(xp, v):
+    """Minimal signed two's-complement width >= 1 (reference utils.hpp:226-243)."""
+    mag = xp.where(v >= 0, v, -v - 1)
+    return _bit_length(xp, mag) + 1
+
+
+def _round_half_away(xp, x):
+    """std::round parity (Block.cpp:152): trunc-based, no double rounding."""
+    t = xp.trunc(x)
+    inc = xp.where(xp.abs(x - t) >= 0.5,
+                   xp.where(x >= 0.0, 1.0, -1.0), 0.0).astype(x.dtype)
+    return t + inc
+
+
+def transform_quantize(img, quant, dct_m, block_size: int):
+    """[H,W] u8 -> [N,K] int32 zig-zag quantized coefficients (one fused graph).
+
+    Reference per-block equivalent: Block::processDCTDivQ (Block.cpp:139-153)
+    + zig-zag gather (algo.cpp:68-87).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    b = block_size
+    h, w = img.shape
+    by, bx = h // b, w // b
+    n = by * bx
+    blocks = img.reshape(by, b, bx, b).swapaxes(1, 2).reshape(n, b, b)
+    x = blocks.astype(jnp.float32) - jnp.float32(128.0)
+    y = jnp.einsum("ui,nij,vj->nuv", dct_m, x, dct_m,
+                   precision=jax.lax.Precision.HIGHEST)
+    q = _round_half_away(jnp, y / quant.astype(jnp.float32))
+    coeffs = q.astype(jnp.int32).reshape(n, b * b)
+    zz = jnp.asarray(zigzag_order(b))
+    return coeffs[:, zz]
+
+
+def fields_from_coeffs(coeffs_zz, use_rle: bool):
+    """[N,K] int32 zig-zag coefficients -> (vals int32 [N,K+2], nbits int32).
+
+    Batched re-derivation of Block::createRLESequence + streamEncoded
+    (Block.cpp:186-232, 372-413); see ops/rle.py for the format notes.
+    Slot 0 is the 4-bit width header, slot 1 the RLE count (nbits 0 when
+    !use_rle), slots 2.. the live payload coefficients.
+    """
+    import jax.numpy as jnp
+
+    n, k = coeffs_zz.shape
+    nz = coeffs_zz != 0
+
+    rev_arg = jnp.argmax(nz[:, ::-1].astype(jnp.int32), axis=1)
+    any_nz = jnp.any(nz, axis=1)
+    length_full = jnp.where(any_nz, k - rev_arg, 0).astype(jnp.int32)
+
+    per_coeff_bits = jnp.where(nz, _bits_needed(jnp, coeffs_zz), 0)
+    max_bits = jnp.max(per_coeff_bits, axis=1).astype(jnp.int32)
+    data_bits = jnp.maximum(jnp.maximum(max_bits, _bit_length(jnp, length_full)), 1)
+
+    if use_rle:
+        nz_head = nz[:, : k - 1]
+        rev_arg_head = jnp.argmax(nz_head[:, ::-1].astype(jnp.int32), axis=1)
+        any_head = jnp.any(nz_head, axis=1)
+        length_head = jnp.where(any_head, (k - 1) - rev_arg_head, 0).astype(jnp.int32)
+        gap = (k - 1) - length_head
+        full = length_full == k
+        count = jnp.where(full & (gap > 0), length_head, length_full)
+        n_payload = count
+    else:
+        count = length_full
+        n_payload = jnp.full((n,), k, dtype=jnp.int32)
+
+    vals = jnp.zeros((n, k + 2), dtype=jnp.int32)
+    nbits = jnp.zeros((n, k + 2), dtype=jnp.int32)
+    vals = vals.at[:, 0].set(data_bits)
+    nbits = nbits.at[:, 0].set(4)
+    if use_rle:
+        vals = vals.at[:, 1].set(count)
+        nbits = nbits.at[:, 1].set(data_bits)
+    j = jnp.arange(k, dtype=jnp.int32)[None, :]
+    live = j < n_payload[:, None]
+    vals = vals.at[:, 2:].set(jnp.where(live, coeffs_zz, 0))
+    nbits = nbits.at[:, 2:].set(jnp.where(live, data_bits[:, None], 0))
+    return vals, nbits
+
+
+@lru_cache(maxsize=None)
+def make_encode_fields(block_size: int = 4, use_rle: bool = True,
+                       norm: str = "reference"):
+    """Build the jitted [H,W] u8 -> (vals, nbits) encoder step.
+
+    Returned fn signature: f(img_u8 [H,W], quant_f32 [B,B]) -> (vals, nbits),
+    jit-compiled per image shape.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dct_m = np.asarray(dct_matrix(block_size, norm), dtype=np.float32)
+
+    @jax.jit
+    def encode_fields(img, quant):
+        coeffs_zz = transform_quantize(img, quant, jnp.asarray(dct_m), block_size)
+        return fields_from_coeffs(coeffs_zz, use_rle)
+
+    return encode_fields
+
+
+@lru_cache(maxsize=None)
+def make_encode_fields_from_blocks(block_size: int = 4, use_rle: bool = True,
+                                   norm: str = "reference"):
+    """Like :func:`make_encode_fields` but over pre-tiled [N,B,B] u8 blocks."""
+    import jax
+    import jax.numpy as jnp
+
+    b = block_size
+    dct_m = np.asarray(dct_matrix(b, norm), dtype=np.float32)
+    zz = zigzag_order(b)
+
+    @jax.jit
+    def encode_fields(blocks, quant):
+        x = blocks.astype(jnp.float32) - jnp.float32(128.0)
+        d = jnp.asarray(dct_m)
+        y = jnp.einsum("ui,nij,vj->nuv", d, x, d,
+                       precision=jax.lax.Precision.HIGHEST)
+        q = _round_half_away(jnp, y / quant.astype(jnp.float32)).astype(jnp.int32)
+        coeffs_zz = q.reshape(q.shape[0], b * b)[:, jnp.asarray(zz)]
+        return fields_from_coeffs(coeffs_zz, use_rle)
+
+    return encode_fields
+
+
+@lru_cache(maxsize=None)
+def make_decode_blocks(block_size: int = 4, norm: str = "reference"):
+    """Build the jitted device decode half: parsed coefficients -> pixels.
+
+    f(coeffs_zz int32 [N,K], quant f32) -> [N,B,B] uint8 reconstructed tiles
+    (Block::processIDCTMulQ + expand clamp, Block.cpp:163-177, 100-107).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    b = block_size
+    dct_m = np.asarray(dct_matrix(b, norm), dtype=np.float32)
+    zz = zigzag_order(b)
+    inv = np.empty_like(zz)
+    inv[zz] = np.arange(len(zz))
+
+    @jax.jit
+    def decode_blocks(coeffs_zz, quant):
+        n = coeffs_zz.shape[0]
+        flat = coeffs_zz[:, jnp.asarray(inv)]
+        y = flat.reshape(n, b, b).astype(jnp.float32) * quant.astype(jnp.float32)
+        d = jnp.asarray(dct_m)
+        x = jnp.einsum("ui,nuv,vj->nij", d, y, d,
+                       precision=jax.lax.Precision.HIGHEST)
+        px = x + jnp.float32(128.0)
+        return jnp.floor(jnp.clip(px, 0.0, 255.0)).astype(jnp.uint8)
+
+    return decode_blocks

@@ -12,6 +12,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The TPU-tunnel jax plugin in this image ignores the JAX_PLATFORMS env var
+# (verified: devices() returns the TPU regardless); the config knob works.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import pathlib
 import sys
 
