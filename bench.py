@@ -2,8 +2,12 @@
 
 Matches the reference's headline metric (README.md:187-197): wall-clock to
 encode bin/ex4.raw (4096x912, the largest shipped fixture) with RLE +
-whole-stream Huffman.  Reference baseline: 461.9 ms on an i7-7700K with
-OpenMP (BASELINE.md) = 8.09 Mpix/s.
+whole-stream Huffman, raw bytes in -> encoded stream out.  Reference
+baseline: 461.9 ms on an i7-7700K with OpenMP (BASELINE.md) = 8.09 Mpix/s.
+
+The encode is the fully-fused device pipeline (transform + quantize + RLE
+stats + on-device bit packing, ops/pipeline.make_encode_packed) plus the
+host Huffman stage; only the packed stream crosses the host<->device link.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -20,6 +24,8 @@ BASELINE_MPIX_S = 3735552 / 0.4619 / 1e6  # ex4 OpenMP+Huffman encode, README.md
 
 
 def main() -> int:
+    import jax
+
     from imageencoder_tpu.models.image import decode_image, encode_image
     from imageencoder_tpu.utils.quant import QuantMatrix
 
@@ -27,19 +33,31 @@ def main() -> int:
     img = raw.reshape(912, 4096)
     quant = QuantMatrix.from_file("/root/reference/bin/matrix.txt")
 
-    # Warm-up: trigger jit compilation + native-runtime build.
-    enc = encode_image(img, quant, use_rle=True, use_huffman=True, backend="jax")
+    def note(msg):
+        print(f"[bench] +{time.perf_counter() - T0:7.1f}s {msg}",
+              file=sys.stderr, flush=True)
+
+    T0 = time.perf_counter()
+    # Warm the transfer path first (the first D2H on this link pays a large
+    # one-time initialization) and then the jit cache.
+    np.asarray(jax.device_put(np.zeros(1024, np.uint8)))
+    note("transfer path warm")
+    enc = encode_image(img, quant, use_rle=True, use_huffman=True,
+                       backend="jax")
+    note(f"encode compiled+warm ({len(enc)} B)")
 
     # Sanity: stream must round-trip through our own decoder.
     dec = decode_image(enc, backend="jax")
     assert dec.shape == img.shape, (dec.shape, img.shape)
+    note("decode sanity ok")
 
     times = []
-    for _ in range(5):
+    for i in range(5):
         t0 = time.perf_counter()
         enc = encode_image(img, quant, use_rle=True, use_huffman=True,
                            backend="jax")
         times.append(time.perf_counter() - t0)
+        note(f"run {i}: {times[-1] * 1e3:.1f} ms")
     best = min(times)
     mpix_s = img.size / best / 1e6
 

@@ -33,6 +33,10 @@ def main(argv=None) -> int:
                     help="numpy = bit-parity float64; jax = TPU fast path")
     ap.add_argument("--no-huffman", action="store_true",
                     help="disable the whole-stream Huffman pass")
+    ap.add_argument("--ref-mode", choices=["raw", "recon"], default="raw",
+                    help="video motion reference: raw = shipped-binary "
+                         "parity (fully parallel), recon = source-code "
+                         "semantics (tracks the decoder more closely)")
     args = ap.parse_args(argv)
 
     c = ConfigReader()
@@ -75,7 +79,8 @@ def main(argv=None) -> int:
                            int(c.get("width")), int(c.get("height")),
                            bool(int(c.get("rle"))), quant,
                            int(c.get("gop")), int(c.get("merange")),
-                           use_huffman=use_huffman, backend=args.backend)
+                           use_huffman=use_huffman, backend=args.backend,
+                           ref_mode=args.ref_mode)
         enc.process()
         enc.save_result()
         Logger.write(f"Elapsed time: {1e3 * (time.perf_counter() - t0):.3f} ms")

@@ -75,23 +75,37 @@ def encode_image(img: np.ndarray, quant: QuantMatrix, use_rle: bool = True,
     assert h % block_size == 0 and w % block_size == 0
 
     writer = BitWriter()
+    if not use_huffman:
+        writer.put_bit(0)  # no-Huffman flag leads the stream directly
     write_image_header(writer, quant, use_rle, w, h)
-    vals, nbits = encode_blocks(blockify(img, block_size), quant, use_rle,
-                                norm=norm, backend=backend)
-    writer.extend_fields(vals, nbits)
-    inner, _ = bitpack.pack_fields(np.array(writer.values, dtype=np.int64),
-                                   np.array(writer.nbits, dtype=np.int64))
+
+    if backend == "jax":
+        # Fully-fused device path: transform + stats + bit-pack on chip;
+        # only the packed words come back (ops/pipeline.make_encode_packed).
+        import jax.numpy as jnp
+
+        from ..ops.device_pack import or_header_into, words_to_bytes
+        from ..ops.pipeline import make_encode_packed
+
+        fn = make_encode_packed(block_size, use_rle, norm)
+        words, total = fn(jnp.asarray(img),
+                          jnp.asarray(quant.as_float(np.float32)),
+                          np.int32(writer.position))
+        stream = bytearray(words_to_bytes(words, int(total)))
+        or_header_into(stream, writer.getvalue())
+        inner = bytes(stream)
+    else:
+        vals, nbits = encode_blocks(blockify(img, block_size), quant, use_rle,
+                                    norm=norm, backend=backend)
+        writer.extend_fields(vals, nbits)
+        inner, _ = bitpack.pack_fields(np.array(writer.values, dtype=np.int64),
+                                       np.array(writer.nbits, dtype=np.int64))
 
     if use_huffman:
         from ..ops.huffman import huffman_encode
 
         return huffman_encode(inner)
-    out = BitWriter()
-    out.put_bit(0)
-    data, _ = bitpack.pack_fields(
-        np.array(out.values + writer.values, dtype=np.int64),
-        np.array(out.nbits + writer.nbits, dtype=np.int64))
-    return data
+    return inner
 
 
 def walk_block_offsets(bits: np.ndarray, start_bit: int, n_blocks: int,

@@ -141,8 +141,33 @@ def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
     mb = mvec_bits(merange)
 
     writer = BitWriter()
+    if not use_huffman:
+        writer.put_bit(0)
     write_image_header(writer, quant, use_rle, width, height)
     write_video_params(writer, VideoParams(n_frames, gop, merange))
+
+    if backend == "jax" and ref_mode == "raw":
+        # Whole video in one device computation (ops/video_pipeline.py):
+        # raw-reference mode has no frame-to-frame carry, so motion search,
+        # transforms and bit packing batch over every frame at once.
+        import jax.numpy as jnp
+
+        from ..ops.device_pack import or_header_into, words_to_bytes
+        from ..ops.video_pipeline import make_encode_video_packed
+
+        fn = make_encode_video_packed(gop, merange, mb, BLOCK_SIZE,
+                                      use_rle, norm)
+        words, total = fn(jnp.asarray(frames),
+                          jnp.asarray(quant.as_float(np.float32)),
+                          np.int32(writer.position))
+        stream = bytearray(words_to_bytes(words, int(total)))
+        or_header_into(stream, writer.getvalue())
+        inner = bytes(stream)
+        if use_huffman:
+            from ..ops.huffman import huffman_encode
+
+            return huffman_encode(inner)
+        return inner
 
     ref: np.ndarray | None = None  # previous frame (raw, or recon P)
     for f in range(n_frames):
@@ -172,12 +197,7 @@ def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
         from ..ops.huffman import huffman_encode
 
         return huffman_encode(inner)
-    out = BitWriter()
-    out.put_bit(0)
-    data_out, _ = bitpack.pack_fields(
-        np.array(out.values + writer.values, dtype=np.int64),
-        np.array(out.nbits + writer.nbits, dtype=np.int64))
-    return data_out
+    return inner  # leading 0 flag bit was emitted into the writer above
 
 
 def decode_video(data: bytes, motioncomp: bool = True,

@@ -170,6 +170,35 @@ def make_encode_fields_from_blocks(block_size: int = 4, use_rle: bool = True,
 
 
 @lru_cache(maxsize=None)
+def make_encode_packed(block_size: int = 4, use_rle: bool = True,
+                       norm: str = "reference"):
+    """Fully-fused device encoder: [H,W] u8 -> packed uint32 words.
+
+    f(img, quant_f32, start_bit) -> (words uint32 [N*9+64], total_bits i32).
+    The stream's first ``start_bit`` bits are left zero for the host header
+    (ops/device_pack.py).  Only the packed words cross host<->device — ~20x
+    less traffic than shipping the field tensors (the decisive factor on
+    bandwidth-constrained links, and HBM-friendlier on chip too).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .device_pack import pack_blocks_device
+
+    dct_m = np.asarray(dct_matrix(block_size, norm), dtype=np.float32)
+
+    @jax.jit
+    def encode_packed(img, quant, start_bit):
+        coeffs_zz = transform_quantize(img, quant, jnp.asarray(dct_m),
+                                       block_size)
+        vals, nbits = fields_from_coeffs(coeffs_zz, use_rle)
+        n = vals.shape[0]
+        return pack_blocks_device(vals, nbits, start_bit, n * 9 + 64)
+
+    return encode_packed
+
+
+@lru_cache(maxsize=None)
 def make_decode_blocks(block_size: int = 4, norm: str = "reference"):
     """Build the jitted device decode half: parsed coefficients -> pixels.
 

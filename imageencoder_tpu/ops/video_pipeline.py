@@ -1,0 +1,155 @@
+"""Whole-video single-jit encode pipeline (ref_mode="raw").
+
+Because the shipped reference binaries use the RAW previous frame as motion
+reference (see models/video.py), every frame's encode is independent — the
+entire video batches into ONE device computation:
+
+    frames [F,H,W] u8
+      -> batched motion search for all P-frames at once (ops/motion.py,
+         vmapped: cur = frames[1:], ref = frames[:-1], I-frame slots masked)
+      -> residual/pixel transform for ALL frames' 4x4 blocks in one einsum
+      -> wire fields (mvec records + block records, stream order)
+      -> on-device two-level bit packer (ops/device_pack.py)
+
+Output is the packed inner payload; the host prepends the video header bits
+and runs the optional Huffman stage.  The reference encodes the same video
+with a serial frame loop of serial block loops (VideoEncoder.cpp:83-91).
+
+Stream order per frame (Frame.cpp:194-242): P-frames emit all motion
+vectors (2 x MVEC_BITS signed each, macro row-major), then the residual
+blocks; I-frames emit pixel blocks only.  Records are rows of a single
+[R, 18] field matrix, so one pack call emits the whole video.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from .device_pack import pack_blocks_device
+from .dct import dct_matrix
+from .motion import MACRO, MER_SIGNS, macro_grid, search_steps
+from .pipeline import _round_half_away, fields_from_coeffs
+from .zigzag import zigzag_order
+
+
+def _batched_motion(frames, gop: int, merange: int):
+    """Motion vectors + predictions for every frame (I-frame rows unused).
+
+    frames: [F,H,W] u8 device array.  Returns (mvec int32 [F,Nmb,2],
+    pred uint8 [F,H,W]) where row f describes frame f predicted from raw
+    frame f-1 (row 0 is garbage, masked by the caller).
+    """
+    import jax.numpy as jnp
+
+    f, h, w = frames.shape
+    cur = frames  # [F,...]; ref[f] = frames[f-1] (roll; row 0 unused)
+    ref = jnp.roll(frames, 1, axis=0)
+
+    bx_np, by_np = macro_grid(h, w)
+    bx, by = jnp.asarray(bx_np), jnp.asarray(by_np)
+    n = bx_np.shape[0]
+    r = jnp.arange(MACRO)
+
+    def windows(img, py, px):  # img [F,H,W]; py/px [F,N]
+        return img[jnp.arange(f)[:, None, None, None],
+                   py[:, :, None, None] + r[None, None, :, None],
+                   px[:, :, None, None] + r[None, None, None, :]]
+
+    cur_blocks = windows(cur, jnp.broadcast_to(by, (f, n)),
+                         jnp.broadcast_to(bx, (f, n))).astype(jnp.int32)
+
+    off = jnp.zeros((f, n, 2), dtype=jnp.int32)
+    best = jnp.full((f, n), jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+
+    for step in search_steps(merange):
+        running = best
+        sel = off
+        for p in range(len(MER_SIGNS)):
+            sx, sy = int(MER_SIGNS[p, 0]), int(MER_SIGNS[p, 1])
+            cand = off + jnp.array([sx * step, sy * step], jnp.int32)
+            px = jnp.clip(bx[None, :] + cand[:, :, 0], 0, w - MACRO)
+            py = jnp.clip(by[None, :] + cand[:, :, 1], 0, h - MACRO)
+            win = windows(ref, py, px).astype(jnp.int32)
+            diff = jnp.abs(cur_blocks - win).sum(axis=(2, 3))
+            if p > 0:
+                skip = (px == bx[None, :]) & (py == by[None, :])
+            else:
+                skip = jnp.zeros((f, n), bool)
+            acc = (~skip) & (diff <= running)
+            running = jnp.where(acc, diff, running)
+            sel = jnp.where(acc[:, :, None], cand, sel)
+        off = sel
+        best = running
+
+    px = jnp.clip(bx[None, :] + off[:, :, 0], 0, w - MACRO)
+    py = jnp.clip(by[None, :] + off[:, :, 1], 0, h - MACRO)
+    win = windows(ref, py, px)  # [F,N,16,16]
+    nbx = w // MACRO
+    pred = win.reshape(f, h // MACRO, nbx, MACRO, MACRO) \
+              .swapaxes(2, 3).reshape(f, h, w)
+    return off, pred
+
+
+@lru_cache(maxsize=None)
+def make_encode_video_packed(gop: int, merange: int, mvec_nbits: int,
+                             block_size: int = 4, use_rle: bool = True,
+                             norm: str = "reference"):
+    """Build the jitted whole-video encoder (shapes fix at first call).
+
+    f(frames u8 [F,H,W], quant f32, start_bit i32) -> (words u32, total i32).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    b = block_size
+    dct_m = np.asarray(dct_matrix(b, norm), dtype=np.float32)
+    zz = zigzag_order(b)
+
+    @jax.jit
+    def encode_video_packed(frames, quant, start_bit):
+        f, h, w = frames.shape
+        n_micro = (h // b) * (w // b)
+        n_macro = (h // MACRO) * (w // MACRO)
+        k = b * b
+
+        is_i = np.array([fi % gop == 0 for fi in range(f)])
+        mvec, pred = _batched_motion(frames, gop, merange)
+
+        # Transform input: pixels for I-frames, residual for P-frames.
+        # Residual carries the same -128 bias (SUBTRACT_128, Block.cpp:139).
+        # The shared -128 bias below turns these into pixels-128 (I) and
+        # residual-128 (P), the reference's DCT inputs for both paths.
+        x = jnp.where(jnp.asarray(is_i)[:, None, None],
+                      frames.astype(jnp.float32),
+                      frames.astype(jnp.float32) - pred.astype(jnp.float32))
+        by_, bx_ = h // b, w // b
+        blocks = x.reshape(f, by_, b, bx_, b).swapaxes(2, 3)
+        blocks = blocks.reshape(f * by_ * bx_, b, b) - jnp.float32(128.0)
+        d = jnp.asarray(dct_m)
+        y = jnp.einsum("ui,nij,vj->nuv", d, blocks, d,
+                       precision=jax.lax.Precision.HIGHEST)
+        q = _round_half_away(jnp, y / quant.astype(jnp.float32)).astype(jnp.int32)
+        coeffs_zz = q.reshape(-1, k)[:, jnp.asarray(zz)]
+        bvals, bnbits = fields_from_coeffs(coeffs_zz, use_rle)  # [F*Nmicro, k+2]
+        bvals = bvals.reshape(f, n_micro, k + 2)
+        bnbits = bnbits.reshape(f, n_micro, k + 2)
+
+        # Motion-vector records: [F, Nmacro, k+2] with 2 live fields.
+        mask = (1 << mvec_nbits) - 1
+        mvals = jnp.zeros((f, n_macro, k + 2), dtype=jnp.int32)
+        mnbits = jnp.zeros((f, n_macro, k + 2), dtype=jnp.int32)
+        mvals = mvals.at[:, :, 0].set(mvec[:, :, 0] & mask)
+        mvals = mvals.at[:, :, 1].set(mvec[:, :, 1] & mask)
+        mnbits = mnbits.at[:, :, :2].set(mvec_nbits)
+        p_rows = ~jnp.asarray(is_i)[:, None, None]
+        mnbits = jnp.where(p_rows, mnbits, 0)  # I-frames emit no mvecs
+
+        # Stream order: per frame, mvec rows then block rows.
+        vals = jnp.concatenate([mvals, bvals], axis=1).reshape(-1, k + 2)
+        nbits = jnp.concatenate([mnbits, bnbits], axis=1).reshape(-1, k + 2)
+        n_rows = f * (n_macro + n_micro)
+        return pack_blocks_device(vals, nbits, start_bit, n_rows * 9 + 64)
+
+    return encode_video_packed

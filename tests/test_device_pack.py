@@ -1,0 +1,59 @@
+"""On-device bit packer vs the host packer (bit-exact equivalence)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from imageencoder_tpu.ops import bitpack
+from imageencoder_tpu.ops.device_pack import pack_blocks_device, words_to_bytes
+from imageencoder_tpu.ops.pipeline import (make_encode_fields,
+                                           make_encode_packed)
+
+
+@pytest.mark.parametrize("seed,start", [(0, 0), (1, 37), (2, 171), (3, 8)])
+def test_pack_matches_host(seed, start):
+    rng = np.random.default_rng(seed)
+    n, f = 257, 18
+    nbits = rng.integers(0, 17, (n, f)).astype(np.int32)
+    vals = rng.integers(-(2 ** 15), 2 ** 15, (n, f)).astype(np.int32)
+
+    fn = jax.jit(pack_blocks_device, static_argnums=(3,))
+    words, total = fn(jnp.asarray(vals), jnp.asarray(nbits),
+                      jnp.asarray(start, jnp.int32), n * 9 + 4)
+    dev = words_to_bytes(words, int(total))
+
+    host, tb = bitpack.pack_fields(
+        np.concatenate([[0], vals.ravel()]),
+        np.concatenate([[start], nbits.ravel()]))
+    assert int(total) == tb
+    assert dev == host
+
+
+def test_full_image_pack_equivalence():
+    """Device-packed stream == host-packed stream of the same device fields."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (64, 96), dtype=np.uint8)
+    quant = np.full((4, 4), 7.0, dtype=np.float32)
+
+    fields = make_encode_fields(4, True, "reference")
+    vals, nbits = fields(img, quant)
+    host, tb = bitpack.pack_fields(np.asarray(vals).ravel(),
+                                   np.asarray(nbits).ravel())
+
+    packed = make_encode_packed(4, True, "reference")
+    words, total = packed(img, quant, np.int32(0))
+    assert int(total) == tb
+    assert words_to_bytes(words, int(total)) == host
+
+
+def test_empty_width_fields_skipped():
+    vals = np.array([[3, 0, 5]], dtype=np.int32)
+    nbits = np.array([[4, 0, 3]], dtype=np.int32)
+    fn = jax.jit(pack_blocks_device, static_argnums=(3,))
+    words, total = fn(jnp.asarray(vals), jnp.asarray(nbits),
+                      jnp.asarray(0, jnp.int32), 12)
+    assert int(total) == 7
+    host, _ = bitpack.pack_fields(vals.ravel(), nbits.ravel())
+    assert words_to_bytes(words, int(total)) == host

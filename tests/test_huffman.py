@@ -1,0 +1,84 @@
+"""Huffman layer unit tests: round-trip, fallback, dict format, reference
+stream interop (the codec-level cross-tests live in test_image_parity /
+test_video_parity; these cover the layer in isolation)."""
+
+import numpy as np
+import pytest
+
+from imageencoder_tpu.ops.huffman import (canonical_codes, code_lengths,
+                                          huffman_decode, huffman_encode)
+
+
+def roundtrip(payload: bytes) -> bytes:
+    enc = huffman_encode(payload)
+    if enc[0] >> 7:
+        return huffman_decode(enc)
+    # fallback: [0 bit][raw]
+    bits = np.unpackbits(np.frombuffer(enc, dtype=np.uint8))
+    return np.packbits(bits[1:]).tobytes()[:len(payload)]
+
+
+@pytest.mark.parametrize("seed,n", [(0, 1000), (1, 65536), (2, 3)])
+def test_roundtrip_random(seed, n):
+    rng = np.random.default_rng(seed)
+    # Skewed distribution so compression actually happens.
+    data = rng.choice(64, p=np.ones(64) / 64, size=n).astype(np.uint8).tobytes()
+    out = roundtrip(data)
+    assert out[:len(data)] == data
+
+
+def test_roundtrip_compressible():
+    data = (b"aaaabbbcc" * 5000)
+    enc = huffman_encode(data)
+    assert enc[0] >> 7 == 1  # dict present
+    assert len(enc) < len(data)
+    assert huffman_decode(enc)[:len(data)] == data
+
+
+def test_incompressible_falls_back():
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+    enc = huffman_encode(data)
+    assert enc[0] >> 7 == 0  # fallback flag
+    assert len(enc) == len(data) + 1  # shipped-build padding parity
+    bits = np.unpackbits(np.frombuffer(enc, dtype=np.uint8))
+    assert np.packbits(bits[1:]).tobytes()[:len(data)] == data
+
+
+def test_single_symbol_falls_back():
+    # Reference emits a zero-length code that decodes forever
+    # (Huffman.cpp:154-180); we force the fallback instead.
+    data = b"\x42" * 100
+    enc = huffman_encode(data)
+    assert enc[0] >> 7 == 0
+
+
+def test_deterministic():
+    data = (b"the quick brown fox " * 200)
+    assert huffman_encode(data) == huffman_encode(data)
+
+
+def test_code_lengths_kraft():
+    rng = np.random.default_rng(5)
+    freqs = rng.integers(0, 1000, 256)
+    freqs[freqs < 50] = 0
+    if np.count_nonzero(freqs) < 2:
+        freqs[:2] = 1
+    lengths = code_lengths(freqs)
+    present = lengths > 0
+    assert np.all(lengths[present] <= 15)
+    # Kraft inequality with equality for a complete code.
+    assert np.isclose(np.sum(2.0 ** -lengths[present]), 1.0)
+
+
+def test_canonical_codes_prefix_free():
+    freqs = np.zeros(256, dtype=np.int64)
+    freqs[:16] = np.arange(1, 17) ** 3
+    lengths = code_lengths(freqs)
+    words, lengths = canonical_codes(lengths)
+    codes = [(format(words[s], f"0{lengths[s]}b")) for s in range(256)
+             if lengths[s] > 0]
+    for a in codes:
+        for b in codes:
+            if a != b:
+                assert not b.startswith(a)

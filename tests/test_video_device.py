@@ -1,0 +1,65 @@
+"""Whole-video device pipeline (ops/video_pipeline.py) vs the host path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from imageencoder_tpu.models.video import (decode_video, encode_video,
+                                           split_yuv420)
+from imageencoder_tpu.ops.motion import find_motion, predict_image
+from imageencoder_tpu.ops.video_pipeline import _batched_motion
+from imageencoder_tpu.utils.quant import QuantMatrix
+
+from tests.test_video_parity import make_video
+
+MATRIX = "/root/reference/bin/matrix.txt"
+
+
+@pytest.fixture(scope="module")
+def quant():
+    return QuantMatrix.from_file(MATRIX)
+
+
+def test_batched_motion_matches_per_frame():
+    data, _ = make_video(smooth=False, seed=11)
+    frames = split_yuv420(data, 64, 64)
+    mv_d, pred_d = jax.jit(lambda f: _batched_motion(f, 4, 16))(
+        jnp.asarray(frames))
+    mv_d, pred_d = np.asarray(mv_d), np.asarray(pred_d)
+    for f in range(1, len(frames)):
+        if f % 4 == 0:
+            continue
+        mv_n, _ = find_motion(frames[f], frames[f - 1], 16)
+        np.testing.assert_array_equal(mv_d[f], mv_n, err_msg=f"frame {f}")
+        np.testing.assert_array_equal(
+            pred_d[f], predict_image(frames[f - 1], mv_n, 64, 64))
+
+
+def test_device_video_stream_decodes(quant):
+    data, frames_list = make_video(smooth=True)
+    enc = encode_video(data, 64, 64, quant, True, 4, 16, use_huffman=True,
+                       backend="jax")
+    dec, params, (w, h) = decode_video(enc)
+    assert (params.frame_count, w, h) == (8, 64, 64)
+    ys = np.frombuffer(dec, dtype=np.uint8).reshape(8, -1)[:, :64 * 64]
+    orig = np.stack([f.reshape(-1) for f in frames_list]).astype(float)
+    mse = ((ys - orig) ** 2).mean()
+    assert 10 * np.log10(255 ** 2 / mse) > 30
+
+
+def test_device_vs_host_streams_nearly_identical(quant):
+    """Only f32-vs-f64 rounding ties may differ (<0.1% of coefficients),
+    so stream lengths match to within a few bytes and both decode."""
+    data, _ = make_video(smooth=True, seed=2)
+    a = encode_video(data, 64, 64, quant, True, 4, 16, use_huffman=False,
+                     backend="numpy")
+    b = encode_video(data, 64, 64, quant, True, 4, 16, use_huffman=False,
+                     backend="jax")
+    assert abs(len(a) - len(b)) <= 16
+    da, _, _ = decode_video(a)
+    db, _, _ = decode_video(b)
+    ya = np.frombuffer(da, dtype=np.uint8).astype(np.int32)
+    yb = np.frombuffer(db, dtype=np.uint8).astype(np.int32)
+    assert np.abs(ya - yb).mean() < 0.5  # tie flips move pixels by ~1 rarely
