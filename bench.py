@@ -51,8 +51,10 @@ def main() -> int:
     assert dec.shape == img.shape, (dec.shape, img.shape)
     note("decode sanity ok")
 
+    # The dev-tunnel link this benchmark crosses has high throughput
+    # variance; more runs + min gives a stable picture of the pipeline.
     times = []
-    for i in range(5):
+    for i in range(8):
         t0 = time.perf_counter()
         enc = encode_image(img, quant, use_rle=True, use_huffman=True,
                            backend="jax")

@@ -50,6 +50,16 @@ def main(argv=None) -> int:
 
     Logger.create(c.get("logfile"))
     use_huffman = not args.no_huffman
+    try:
+        return _run(c, mode, args, use_huffman)
+    except OSError as e:
+        # Reference behaviour: file-level errors abort with a message
+        # (ImageBase.cpp:22-27 exits -1 at read time).
+        print(str(e), file=sys.stderr)
+        return 1
+
+
+def _run(c, mode, args, use_huffman) -> int:
 
     if mode == "image":
         quant = QuantMatrix.from_file(c.get("quantfile"))

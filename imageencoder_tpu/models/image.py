@@ -80,20 +80,23 @@ def encode_image(img: np.ndarray, quant: QuantMatrix, use_rle: bool = True,
     write_image_header(writer, quant, use_rle, w, h)
 
     if backend == "jax":
-        # Fully-fused device path: transform + stats + bit-pack on chip;
-        # only the packed words come back (ops/pipeline.make_encode_packed).
+        # Fully-fused device path: transform + stats + bit-pack + Huffman on
+        # chip; only the final stream comes back (ops/pipeline, ops/huffman).
         import jax.numpy as jnp
 
-        from ..ops.device_pack import or_header_into, words_to_bytes
-        from ..ops.pipeline import make_encode_packed
+        from ..ops.device_pack import header_to_words, words_to_bytes
+        from ..ops.pipeline import make_encode_packed, make_encode_packed_hist
 
-        fn = make_encode_packed(block_size, use_rle, norm)
-        words, total = fn(jnp.asarray(img),
-                          jnp.asarray(quant.as_float(np.float32)),
-                          np.int32(writer.position))
-        stream = bytearray(words_to_bytes(words, int(total)))
-        or_header_into(stream, writer.getvalue())
-        inner = bytes(stream)
+        args = (jnp.asarray(img), jnp.asarray(quant.as_float(np.float32)),
+                np.int32(writer.position),
+                jnp.asarray(header_to_words(writer.getvalue())))
+        if use_huffman:
+            from ..ops.huffman import huffman_encode_from_meta
+
+            words, meta = make_encode_packed_hist(block_size, use_rle, norm)(*args)
+            return huffman_encode_from_meta(words, meta)
+        words, total = make_encode_packed(block_size, use_rle, norm)(*args)
+        return words_to_bytes(words, int(total))
     else:
         vals, nbits = encode_blocks(blockify(img, block_size), quant, use_rle,
                                     norm=norm, backend=backend)

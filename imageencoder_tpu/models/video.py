@@ -152,25 +152,27 @@ def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
         # transforms and bit packing batch over every frame at once.
         import jax.numpy as jnp
 
-        from ..ops.device_pack import or_header_into, words_to_bytes
+        from ..ops.device_pack import header_to_words, words_to_bytes
         from ..ops.video_pipeline import make_encode_video_packed
 
         fn = make_encode_video_packed(gop, merange, mb, BLOCK_SIZE,
-                                      use_rle, norm)
-        words, total = fn(jnp.asarray(frames),
-                          jnp.asarray(quant.as_float(np.float32)),
-                          np.int32(writer.position))
-        stream = bytearray(words_to_bytes(words, int(total)))
-        or_header_into(stream, writer.getvalue())
-        inner = bytes(stream)
+                                      use_rle, norm,
+                                      with_hist=use_huffman)
+        out = fn(jnp.asarray(frames),
+                 jnp.asarray(quant.as_float(np.float32)),
+                 np.int32(writer.position),
+                 jnp.asarray(header_to_words(writer.getvalue())))
         if use_huffman:
-            from ..ops.huffman import huffman_encode
+            from ..ops.huffman import huffman_encode_from_meta
 
-            return huffman_encode(inner)
-        return inner
+            return huffman_encode_from_meta(*out)
+        words, total = out
+        return words_to_bytes(words, int(total))
 
     ref: np.ndarray | None = None  # previous frame (raw, or recon P)
+    Logger.progress(0, n_frames)
     for f in range(n_frames):
+        Logger.progress(f + 1, n_frames)
         cur = frames[f]
         if f % gop == 0:
             vals, nbits = _frame_fields(cur, quant, use_rle, norm, backend)
@@ -223,7 +225,9 @@ def decode_video(data: bytes, motioncomp: bool = True,
     out = []
     ref: np.ndarray | None = None
     pos = reader.position
+    Logger.progress(0, params.frame_count)
     for f in range(params.frame_count):
+        Logger.progress(f + 1, params.frame_count)
         if f % max(1, params.gop) == 0:
             blocks, pos = decode_blocks(reader.bits, pos, n_micro, quant,
                                         use_rle, norm=norm, backend=backend)

@@ -31,6 +31,15 @@ from functools import lru_cache
 import numpy as np
 
 LOCAL_WORDS = 9  # 288 bits >= 4 + 17 * 16 for 4x4 blocks
+HEADER_WORDS = 64  # host header prefix capacity (2048 bits)
+
+
+def header_to_words(header: bytes) -> np.ndarray:
+    """Pad a host-packed header to the fixed uint32[HEADER_WORDS] prefix."""
+    assert len(header) <= HEADER_WORDS * 4, len(header)
+    buf = np.zeros(HEADER_WORDS * 4, dtype=np.uint8)
+    buf[:len(header)] = np.frombuffer(header, dtype=np.uint8)
+    return buf.view(">u4").astype(np.uint32)
 
 
 def pack_blocks_device(vals, nbits, start_bit, n_words: int):

@@ -126,14 +126,17 @@ def canonical_codes(lengths: np.ndarray):
     return words, lengths
 
 
-def huffman_encode(inner: bytes) -> bytes:
-    """Compress ``inner`` (whole-byte stream); fallback to [0][raw] if bigger."""
-    data = np.frombuffer(inner, dtype=np.uint8)
-    freqs = np.bincount(data, minlength=256)
+def _dict_and_codes(freqs: np.ndarray):
+    """Canonical codes + serialized dict for a byte histogram.
+
+    Returns (dict_writer, words, lengths) or None when < 2 symbols exist
+    (the caller falls back; the reference would emit a zero-length code
+    whose decode loops forever, Huffman.cpp:154-180).
+    """
     try:
         lengths = code_lengths(freqs)
     except ValueError:
-        return _fallback(inner)
+        return None
     words, lengths = canonical_codes(lengths)
 
     # Serialize dict: groups by code length, LONGEST first (Huffman.cpp:272
@@ -151,6 +154,17 @@ def huffman_encode(inner: bytes) -> bytes:
                 w.put(KEY_BITS, int(s))
                 w.put(ln, int(words[s]))
     w.put_bit(0)  # stop header
+    return w, words, lengths
+
+
+def huffman_encode(inner: bytes) -> bytes:
+    """Compress ``inner`` (whole-byte stream); fallback to [0][raw] if bigger."""
+    data = np.frombuffer(inner, dtype=np.uint8)
+    freqs = np.bincount(data, minlength=256)
+    built = _dict_and_codes(freqs)
+    if built is None:
+        return _fallback(inner)
+    w, words, lengths = built
 
     # Payload: LUT gather + shared packer.
     pay_vals = words[data].astype(np.int64)
@@ -230,6 +244,154 @@ def _build_fsm(entries):
             n_out[state, byte] = len(outs)
             out_syms[state, byte, :len(outs)] = outs
     return next_state, n_out, out_syms
+
+
+def _device_stages():
+    """jit-compiled device halves of the Huffman encoder (built lazily).
+
+    Stage 1: byte histogram straight from the packed uint32 words.
+    Stage 2: per-byte code gather + the shared two-level bit packer, dict
+    bits OR'd into the prefix.  The inner stream never visits the host on
+    the compress path — only the final compressed words do.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .device_pack import pack_blocks_device
+
+    DICT_WORDS = 256  # dict upper bound: ~6.1k bits for all 256 symbols
+
+    def words_to_u8(words):
+        w = words[:, None]
+        sh = jnp.array([24, 16, 8, 0], dtype=jnp.uint32)[None, :]
+        return ((w >> sh) & jnp.uint32(0xFF)).astype(jnp.uint8).reshape(-1)
+
+    @jax.jit
+    def byte_hist(words, nbytes):
+        data = words_to_u8(words)
+        idx = jnp.arange(data.shape[0], dtype=jnp.int32)
+        # Route out-of-stream lanes to overflow bin 256.
+        routed = jnp.where(idx < nbytes, data.astype(jnp.int32), 256)
+        return jnp.bincount(routed, length=257)[:256].astype(jnp.int32)
+
+    @jax.jit
+    def pack_payload(words, nbytes, code_w, code_l, start_bit, dict_words):
+        data = words_to_u8(words)
+        nbyte_lanes = data.shape[0]
+        idx = jnp.arange(nbyte_lanes, dtype=jnp.int32)
+        vals = code_w[data].astype(jnp.int32)
+        nbits = jnp.where(idx < nbytes, code_l[data], 0).astype(jnp.int32)
+        rows = (nbyte_lanes + 15) // 16
+        pad = rows * 16 - nbyte_lanes
+        vals = jnp.pad(vals, (0, pad)).reshape(rows, 16)
+        nbits = jnp.pad(nbits, (0, pad)).reshape(rows, 16)
+        n_out = (nbyte_lanes * MAX_CODE_LEN) // 32 + DICT_WORDS + 8
+        out, total = pack_blocks_device(vals, nbits, start_bit, n_out)
+        out = out.at[:DICT_WORDS].set(out[:DICT_WORDS] | dict_words)
+        return out, total
+
+    return byte_hist, pack_payload, DICT_WORDS
+
+
+_DEVICE_STAGES = None
+
+
+def huffman_encode_device(words, total_bits: int):
+    """Device-side Huffman over a packed inner stream (uint32 words).
+
+    words: device uint32 array holding the complete inner stream starting at
+    bit 0; total_bits: its bit length.  Returns the final stream bytes
+    (dict + payload, or the [0][raw] fallback when not smaller, exactly like
+    :func:`huffman_encode`).
+    """
+    global _DEVICE_STAGES
+    if _DEVICE_STAGES is None:
+        _DEVICE_STAGES = _device_stages()
+    byte_hist, pack_payload, dict_words_n = _DEVICE_STAGES
+
+    import jax.numpy as jnp
+
+    from .device_pack import words_to_bytes
+
+    inner_bytes = (int(total_bits) + 7) // 8
+    # Trim the padded pack buffer to a power-of-two bucket: the packer's
+    # worst-case allocation is ~6x the actual stream, and the Huffman
+    # stages' work scales with the buffer, not the stream.  Buckets keep
+    # the number of distinct jit shapes logarithmic.
+    need = (inner_bytes + 3) // 4
+    bucket = 1024
+    while bucket < need:
+        bucket *= 2
+    if bucket < words.shape[0]:
+        words = words[:bucket]
+    freqs = np.asarray(byte_hist(words, np.int32(inner_bytes)))
+    built = _dict_and_codes(freqs)
+    if built is None:
+        return _fallback(words_to_bytes(words, total_bits))
+    w, code_words, lengths = built
+
+    dict_stream = w.getvalue()
+    dbuf = np.zeros(dict_words_n * 4, dtype=np.uint8)
+    dbuf[:len(dict_stream)] = np.frombuffer(dict_stream, dtype=np.uint8)
+    out, out_total = pack_payload(
+        words, np.int32(inner_bytes),
+        jnp.asarray(code_words.astype(np.uint32)),
+        jnp.asarray(lengths.astype(np.int32)),
+        np.int32(w.position), jnp.asarray(dbuf.view(">u4").astype(np.uint32)))
+
+    if inner_bytes < (int(out_total) + 7) // 8:
+        return _fallback(words_to_bytes(words, total_bits))
+    return words_to_bytes(out, int(out_total))
+
+
+def huffman_encode_from_meta(words, meta) -> bytes:
+    """Minimum-round-trip device Huffman: takes the (words, meta) pair from
+    ops/pipeline.make_encode_packed_hist (meta[0]=total_bits, meta[1:]=byte
+    histogram, already on host) and emits the final stream.
+
+    The compressed size is computed ON HOST as dict_bits + freqs·code_lens,
+    so the only remaining device traffic is the payload-pack dispatch and a
+    single exact-size D2H of the compressed words.
+    """
+    global _DEVICE_STAGES
+    if _DEVICE_STAGES is None:
+        _DEVICE_STAGES = _device_stages()
+    _, pack_payload, dict_words_n = _DEVICE_STAGES
+
+    import jax.numpy as jnp
+
+    from .device_pack import words_to_bytes
+
+    meta = np.asarray(meta)
+    total_bits = int(meta[0])
+    freqs = meta[1:]
+    inner_bytes = (total_bits + 7) // 8
+    built = _dict_and_codes(freqs)
+    if built is None:
+        return _fallback(words_to_bytes(words, total_bits))
+    w, code_words, lengths = built
+    out_total = w.position + int(freqs.astype(np.int64) @ lengths)
+    if inner_bytes < (out_total + 7) // 8:
+        return _fallback(words_to_bytes(words, total_bits))
+
+    need = (inner_bytes + 3) // 4
+    bucket = 1024
+    while bucket < need:
+        bucket *= 2
+    if bucket < words.shape[0]:
+        words = words[:bucket]
+
+    dict_stream = w.getvalue()
+    dbuf = np.zeros(dict_words_n * 4, dtype=np.uint8)
+    dbuf[:len(dict_stream)] = np.frombuffer(dict_stream, dtype=np.uint8)
+    out, _ = pack_payload(
+        words, np.int32(inner_bytes),
+        jnp.asarray(code_words.astype(np.uint32)),
+        jnp.asarray(lengths.astype(np.int32)),
+        np.int32(w.position), jnp.asarray(dbuf.view(">u4").astype(np.uint32)))
+    out_bytes = (out_total + 7) // 8
+    nw = (out_bytes + 3) // 4
+    return np.asarray(out[:nw]).astype(">u4").tobytes()[:out_bytes]
 
 
 def huffman_decode(data: bytes) -> bytes:

@@ -169,31 +169,78 @@ def make_encode_fields_from_blocks(block_size: int = 4, use_rle: bool = True,
     return encode_fields
 
 
+def stream_byte_histogram(words, total_bits):
+    """Masked byte histogram of a packed word stream, as a broadcast-compare
+    reduction (TPU-friendly; scatter-free).  Returns int32[257] with slot 0
+    = total_bits and slots 1..256 the byte counts — one array so the host
+    needs a single device round-trip for both.
+    """
+    import jax.numpy as jnp
+
+    lanes = ((words[:, None] >> jnp.array([24, 16, 8, 0], jnp.uint32)[None, :])
+             & jnp.uint32(0xFF)).astype(jnp.uint8).reshape(-1)
+    nbytes = (total_bits.astype(jnp.int32) + 7) // 8
+    mask = jnp.arange(lanes.shape[0], dtype=jnp.int32) < nbytes
+    # [M,256] compare fused into the reduction by XLA; no scatter.
+    eq = (lanes[:, None] == jnp.arange(256, dtype=jnp.uint8)[None, :])
+    hist = jnp.sum(eq & mask[:, None], axis=0, dtype=jnp.int32)
+    return jnp.concatenate([total_bits.astype(jnp.int32)[None], hist])
+
+
+@lru_cache(maxsize=None)
+def make_encode_packed_hist(block_size: int = 4, use_rle: bool = True,
+                            norm: str = "reference"):
+    """make_encode_packed + fused byte histogram of the resulting stream.
+
+    f(img, quant, start_bit, header_words) -> (words u32, meta i32[257])
+    with meta[0] = total_bits, meta[1:] = byte histogram.  One jit, so the
+    host learns the stream length AND the Huffman statistics in a single
+    device round-trip (round-trip latency dominates on tunneled links).
+    """
+    import jax
+
+    from .device_pack import HEADER_WORDS, pack_blocks_device
+
+    base = make_encode_packed(block_size, use_rle, norm)
+
+    @jax.jit
+    def encode_packed_hist(img, quant, start_bit, header_words):
+        words, total = base(img, quant, start_bit, header_words)
+        return words, stream_byte_histogram(words, total)
+
+    return encode_packed_hist
+
+
 @lru_cache(maxsize=None)
 def make_encode_packed(block_size: int = 4, use_rle: bool = True,
                        norm: str = "reference"):
     """Fully-fused device encoder: [H,W] u8 -> packed uint32 words.
 
-    f(img, quant_f32, start_bit) -> (words uint32 [N*9+64], total_bits i32).
-    The stream's first ``start_bit`` bits are left zero for the host header
-    (ops/device_pack.py).  Only the packed words cross host<->device — ~20x
-    less traffic than shipping the field tensors (the decisive factor on
+    f(img, quant_f32, start_bit, header_words u32[64]) ->
+        (words uint32 [N*9+64], total_bits i32).
+    ``header_words`` (the host-built stream header, big-endian packed) are
+    OR'd into the word prefix so the returned words are the COMPLETE inner
+    stream.  Only the packed words cross host<->device — ~20x less traffic
+    than shipping the field tensors (the decisive factor on
     bandwidth-constrained links, and HBM-friendlier on chip too).
     """
     import jax
     import jax.numpy as jnp
 
-    from .device_pack import pack_blocks_device
+    from .device_pack import HEADER_WORDS, pack_blocks_device
 
     dct_m = np.asarray(dct_matrix(block_size, norm), dtype=np.float32)
 
     @jax.jit
-    def encode_packed(img, quant, start_bit):
+    def encode_packed(img, quant, start_bit, header_words):
         coeffs_zz = transform_quantize(img, quant, jnp.asarray(dct_m),
                                        block_size)
         vals, nbits = fields_from_coeffs(coeffs_zz, use_rle)
         n = vals.shape[0]
-        return pack_blocks_device(vals, nbits, start_bit, n * 9 + 64)
+        words, total = pack_blocks_device(vals, nbits, start_bit, n * 9 + 64)
+        words = words.at[:HEADER_WORDS].set(words[:HEADER_WORDS]
+                                            | header_words)
+        return words, total
 
     return encode_packed
 

@@ -27,7 +27,7 @@ from functools import lru_cache
 
 import numpy as np
 
-from .device_pack import pack_blocks_device
+from .device_pack import HEADER_WORDS, pack_blocks_device
 from .dct import dct_matrix
 from .motion import MACRO, MER_SIGNS, macro_grid, search_steps
 from .pipeline import _round_half_away, fields_from_coeffs
@@ -95,7 +95,8 @@ def _batched_motion(frames, gop: int, merange: int):
 @lru_cache(maxsize=None)
 def make_encode_video_packed(gop: int, merange: int, mvec_nbits: int,
                              block_size: int = 4, use_rle: bool = True,
-                             norm: str = "reference"):
+                             norm: str = "reference",
+                             with_hist: bool = False):
     """Build the jitted whole-video encoder (shapes fix at first call).
 
     f(frames u8 [F,H,W], quant f32, start_bit i32) -> (words u32, total i32).
@@ -108,7 +109,7 @@ def make_encode_video_packed(gop: int, merange: int, mvec_nbits: int,
     zz = zigzag_order(b)
 
     @jax.jit
-    def encode_video_packed(frames, quant, start_bit):
+    def encode_video_packed(frames, quant, start_bit, header_words):
         f, h, w = frames.shape
         n_micro = (h // b) * (w // b)
         n_macro = (h // MACRO) * (w // MACRO)
@@ -150,6 +151,14 @@ def make_encode_video_packed(gop: int, merange: int, mvec_nbits: int,
         vals = jnp.concatenate([mvals, bvals], axis=1).reshape(-1, k + 2)
         nbits = jnp.concatenate([mnbits, bnbits], axis=1).reshape(-1, k + 2)
         n_rows = f * (n_macro + n_micro)
-        return pack_blocks_device(vals, nbits, start_bit, n_rows * 9 + 64)
+        words, total = pack_blocks_device(vals, nbits, start_bit,
+                                          n_rows * 9 + 64)
+        words = words.at[:HEADER_WORDS].set(words[:HEADER_WORDS]
+                                            | header_words)
+        if with_hist:
+            from .pipeline import stream_byte_histogram
+
+            return words, stream_byte_histogram(words, total)
+        return words, total
 
     return encode_video_packed

@@ -1,0 +1,94 @@
+"""Multi-host orchestration: GOP sharding across processes.
+
+The reference is strictly single-process (SURVEY §2 #22).  The multi-host
+design here follows the natural independence structure: GOPs never reference
+each other (every GOP opens with an I-frame), so a video encode distributes
+as
+
+    host h encodes GOPs {i : i % n_hosts == h}        (DCN-parallel, no comms)
+    -> per-GOP payload bit strings
+    -> host 0 concatenates in GOP order + global Huffman
+
+Within one host, frames/blocks shard over the local chips via the
+(frame, block) mesh (parallel/sharding.py).  The only cross-host data is
+the packed GOP payloads (tiny vs pixels) — an all-gather-to-root on DCN.
+
+`initialize()` wraps jax.distributed for real multi-host runs;
+`encode_gops` + `assemble` are pure functions usable with any transport
+(tested in-process by running each rank's share serially).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..models.headers import VideoParams, write_image_header, write_video_params
+from ..models.video import split_yuv420
+from ..ops import bitpack
+from ..ops.bitpack import BitWriter
+from ..utils.checkpoint import _encode_gop_payload, _gop_slices
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """jax.distributed bring-up for multi-host meshes (no-op if single)."""
+    import jax
+
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def gop_assignment(n_gops: int, n_hosts: int, host: int) -> list[int]:
+    """Round-robin GOP ownership (balanced to within one GOP)."""
+    return list(range(host, n_gops, n_hosts))
+
+
+def encode_gops(data: bytes, width: int, height: int, quant, use_rle: bool,
+                gop: int, merange: int, gop_ids, norm: str = "reference",
+                backend: str = "numpy", ref_mode: str = "raw"):
+    """Encode this host's GOPs. Returns {gop_id: (bytes, nbits)}."""
+    frames = split_yuv420(data, width, height)
+    slices = _gop_slices(len(frames), gop)
+    out = {}
+    for i in gop_ids:
+        s, e = slices[i]
+        out[i] = _encode_gop_payload(frames[s:e], quant, use_rle, merange,
+                                     norm, backend, ref_mode)
+    return out
+
+
+def assemble(segments: dict, n_frames: int, width: int, height: int, quant,
+             use_rle: bool, gop: int, merange: int,
+             use_huffman: bool = True) -> bytes:
+    """Root-side: header + GOP payloads in order + optional global Huffman."""
+    writer = BitWriter()
+    if not use_huffman:
+        writer.put_bit(0)
+    write_image_header(writer, quant, use_rle, width, height)
+    write_video_params(writer, VideoParams(n_frames, max(1, gop), merange))
+    header, header_bits = bitpack.pack_fields(
+        np.array(writer.values, dtype=np.int64),
+        np.array(writer.nbits, dtype=np.int64))
+
+    order = sorted(segments)
+    total_bits = header_bits + sum(segments[i][1] for i in order)
+    bitbuf = np.zeros(((total_bits + 7) // 8) * 8, dtype=np.uint8)
+    bitbuf[:header_bits] = np.unpackbits(
+        np.frombuffer(header, dtype=np.uint8))[:header_bits]
+    pos = header_bits
+    for i in order:
+        seg, nb = segments[i]
+        bitbuf[pos:pos + nb] = np.unpackbits(
+            np.frombuffer(seg, dtype=np.uint8))[:nb]
+        pos += nb
+    inner = np.packbits(bitbuf).tobytes()
+
+    if use_huffman:
+        from ..ops.huffman import huffman_encode
+
+        return huffman_encode(inner)
+    return inner

@@ -1,0 +1,136 @@
+"""GOP-granular checkpoint / resume for long video encodes.
+
+The reference has no checkpointing (SURVEY §5): a crash loses the whole
+job.  Here the natural persistence unit is the GOP — every GOP starts with
+an I-frame (VideoBase.hpp:32) and P-frames only reference within-GOP
+predecessors, so each GOP's payload is a self-contained bit string that can
+be encoded, saved, and later spliced into the final stream.
+
+Layout of a checkpoint directory:
+    meta.json                 width/height/gop/merange/rle/total frames
+    gop_{i:06d}.seg           raw segment bytes
+    gop_{i:06d}.json          {"nbits": payload bit length}
+
+`encode_video_checkpointed` skips GOPs that already have segments (resume
+after crash), then assembles header + segments + optional Huffman — the
+output is byte-identical to a straight `encode_video` call.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import numpy as np
+
+from ..models.headers import VideoParams, write_image_header, write_video_params
+from ..models.video import mvec_bits, split_yuv420
+from ..ops import bitpack
+from ..ops.bitpack import BitWriter
+from ..utils.quant import QuantMatrix
+
+
+def _gop_slices(n_frames: int, gop: int):
+    gop = max(1, gop)
+    starts = list(range(0, n_frames, gop))
+    return [(s, min(s + gop, n_frames)) for s in starts]
+
+
+def _encode_gop_payload(frames, quant, use_rle, merange, norm, backend,
+                        ref_mode, first_is_i=True):
+    """Bit payload for one GOP (I-frame + following P-frames)."""
+    from ..models.video import _frame_fields, _residual_fields_and_recon
+    from ..ops.motion import find_motion, predict_image
+
+    h, w = frames[0].shape
+    mb = mvec_bits(merange)
+    writer = BitWriter()
+    ref = None
+    for i, cur in enumerate(frames):
+        if i == 0 and first_is_i:
+            vals, nbits = _frame_fields(cur, quant, use_rle, norm, backend)
+            writer.extend_fields(vals.ravel(), nbits.ravel())
+            ref = cur
+        else:
+            mvec, _ = find_motion(cur, ref, merange)
+            pred = predict_image(ref, mvec, h, w)
+            residual = cur.astype(np.float64) - pred.astype(np.float64)
+            vals, nbits, recon = _residual_fields_and_recon(
+                residual, pred, quant, use_rle, norm, backend)
+            mask = (1 << mb) - 1
+            mv = np.empty(mvec.shape[0] * 2, dtype=np.int64)
+            mv[0::2] = mvec[:, 0] & mask
+            mv[1::2] = mvec[:, 1] & mask
+            writer.extend_fields(mv, np.full(mv.shape[0], mb, dtype=np.int64))
+            writer.extend_fields(vals.ravel(), nbits.ravel())
+            ref = cur if ref_mode == "raw" else recon
+    data, nbits_total = bitpack.pack_fields(
+        np.array(writer.values, dtype=np.int64),
+        np.array(writer.nbits, dtype=np.int64))
+    return data, nbits_total
+
+
+def encode_video_checkpointed(data: bytes, width: int, height: int,
+                              quant: QuantMatrix, use_rle: bool, gop: int,
+                              merange: int, ckpt_dir: str,
+                              use_huffman: bool = True,
+                              norm: str = "reference",
+                              backend: str = "numpy",
+                              ref_mode: str = "raw") -> bytes:
+    """Like models.video.encode_video but resumable at GOP granularity."""
+    d = pathlib.Path(ckpt_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    frames = split_yuv420(data, width, height)
+    n_frames = len(frames)
+    meta = {"width": width, "height": height, "gop": gop,
+            "merange": merange, "rle": int(use_rle), "frames": n_frames,
+            "ref_mode": ref_mode}
+    meta_p = d / "meta.json"
+    if meta_p.exists():
+        old = json.loads(meta_p.read_text())
+        if old != meta:
+            raise ValueError(f"checkpoint dir {ckpt_dir} holds a different "
+                             f"job: {old} != {meta}")
+    else:
+        meta_p.write_text(json.dumps(meta))
+
+    segments = []
+    for i, (s, e) in enumerate(_gop_slices(n_frames, gop)):
+        seg_p = d / f"gop_{i:06d}.seg"
+        info_p = d / f"gop_{i:06d}.json"
+        if seg_p.exists() and info_p.exists():
+            seg = seg_p.read_bytes()
+            nbits = json.loads(info_p.read_text())["nbits"]
+        else:
+            seg, nbits = _encode_gop_payload(frames[s:e], quant, use_rle,
+                                             merange, norm, backend, ref_mode)
+            seg_p.write_bytes(seg)
+            info_p.write_text(json.dumps({"nbits": nbits}))
+        segments.append((seg, nbits))
+
+    # Assemble: header bits + segment bit strings, then optional Huffman.
+    writer = BitWriter()
+    if not use_huffman:
+        writer.put_bit(0)
+    write_image_header(writer, quant, use_rle, width, height)
+    write_video_params(writer, VideoParams(n_frames, max(1, gop), merange))
+    header, header_bits = bitpack.pack_fields(
+        np.array(writer.values, dtype=np.int64),
+        np.array(writer.nbits, dtype=np.int64))
+
+    total_bits = header_bits + sum(nb for _, nb in segments)
+    bitbuf = np.zeros(((total_bits + 7) // 8) * 8, dtype=np.uint8)
+    bitbuf[:header_bits] = np.unpackbits(
+        np.frombuffer(header, dtype=np.uint8))[:header_bits]
+    pos = header_bits
+    for seg, nb in segments:
+        bitbuf[pos:pos + nb] = np.unpackbits(
+            np.frombuffer(seg, dtype=np.uint8))[:nb]
+        pos += nb
+    inner = np.packbits(bitbuf).tobytes()
+
+    if use_huffman:
+        from ..ops.huffman import huffman_encode
+
+        return huffman_encode(inner)
+    return inner

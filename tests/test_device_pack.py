@@ -42,8 +42,11 @@ def test_full_image_pack_equivalence():
     host, tb = bitpack.pack_fields(np.asarray(vals).ravel(),
                                    np.asarray(nbits).ravel())
 
+    from imageencoder_tpu.ops.device_pack import HEADER_WORDS
+
     packed = make_encode_packed(4, True, "reference")
-    words, total = packed(img, quant, np.int32(0))
+    words, total = packed(img, quant, np.int32(0),
+                          np.zeros(HEADER_WORDS, np.uint32))
     assert int(total) == tb
     assert words_to_bytes(words, int(total)) == host
 

@@ -82,3 +82,35 @@ def test_canonical_codes_prefix_free():
         for b in codes:
             if a != b:
                 assert not b.startswith(a)
+
+
+def test_device_huffman_matches_host():
+    import jax.numpy as jnp
+
+    from imageencoder_tpu.ops.huffman import huffman_encode_device
+
+    rng = np.random.default_rng(8)
+    inner = rng.choice(32, size=5000).astype(np.uint8).tobytes()
+    # Stage the inner bytes as uint32 words (big-endian), padded.
+    buf = np.frombuffer(inner, dtype=np.uint8)
+    pad = (-len(buf)) % 4
+    wbuf = np.concatenate([buf, np.zeros(pad + 40, np.uint8)])
+    words = jnp.asarray(wbuf.view(">u4").astype(np.uint32))
+    dev = huffman_encode_device(words, len(inner) * 8)
+    host = huffman_encode(inner)
+    assert dev == host
+
+
+def test_device_huffman_fallback_matches_host():
+    import jax.numpy as jnp
+
+    from imageencoder_tpu.ops.huffman import huffman_encode_device
+
+    rng = np.random.default_rng(9)
+    inner = rng.integers(0, 256, 2048, dtype=np.uint8).tobytes()
+    buf = np.frombuffer(inner, dtype=np.uint8)
+    wbuf = np.concatenate([buf, np.zeros(((-len(buf)) % 4) + 8, np.uint8)])
+    words = jnp.asarray(wbuf.view(">u4").astype(np.uint32))
+    dev = huffman_encode_device(words, len(inner) * 8)
+    host = huffman_encode(inner)
+    assert dev == host
