@@ -1,0 +1,101 @@
+"""Sharded video step (halo-exchange motion search) vs single-device path.
+
+Runs on the virtual 8-device CPU mesh; validates that stripe-local motion
+search with ppermute halos reproduces the global search bit-for-bit, and
+that the residual fields match the unsharded device pipeline.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from imageencoder_tpu.models.video import mvec_bits, split_yuv420
+from imageencoder_tpu.ops.motion import find_motion, predict_image
+from imageencoder_tpu.ops.pipeline import fields_from_coeffs, _round_half_away
+from imageencoder_tpu.ops.dct import dct_matrix
+from imageencoder_tpu.ops.zigzag import zigzag_order
+from imageencoder_tpu.parallel.mesh import make_mesh
+from imageencoder_tpu.parallel.video_sharding import make_sharded_video_step
+
+from tests.test_video_parity import make_video
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+GOP, MERANGE = 4, 16
+
+
+def expected_frame_fields(cur, ref, is_i, quant):
+    """Unsharded oracle: same f32 ops as the device pipeline."""
+    h, w = cur.shape
+    if is_i:
+        x = cur.astype(np.float32)
+        mv = np.zeros(((h // 16) * (w // 16), 2), np.int32)
+    else:
+        mv, _ = find_motion(cur, ref, MERANGE)
+        pred = predict_image(ref, mv, h, w)
+        x = cur.astype(np.float32) - pred.astype(np.float32)
+    d = jnp.asarray(np.asarray(dct_matrix(4, "reference"), np.float32))
+    blocks = x.reshape(h // 4, 4, w // 4, 4).swapaxes(1, 2).reshape(-1, 4, 4)
+    y = jnp.einsum("ui,nij,vj->nuv", d,
+                   jnp.asarray(blocks) - jnp.float32(128.0), d,
+                   precision=jax.lax.Precision.HIGHEST)
+    q = _round_half_away(jnp, y / jnp.asarray(quant)).astype(jnp.int32)
+    czz = q.reshape(-1, 16)[:, jnp.asarray(zigzag_order(4))]
+    vals, nbits = fields_from_coeffs(czz, True)
+    return mv, np.asarray(vals), np.asarray(nbits)
+
+
+def test_sharded_video_step_matches_single_device():
+    data, _ = make_video(w=64, h=128, n=4, seed=21, smooth=False)
+    frames = split_yuv420(data, 64, 128)
+    quant = np.full((4, 4), 5.0, dtype=np.float32)
+
+    mesh = make_mesh(8, frame_axis=4)  # 4 frame chunks x 2 stripes of 64 rows
+    step = make_sharded_video_step(mesh, GOP, MERANGE, mvec_bits(MERANGE))
+    mvals, bvals, bnbits, base, hist = jax.block_until_ready(
+        step(jnp.asarray(frames), jnp.asarray(quant)))
+    mvals, bvals, bnbits, base = map(np.asarray, (mvals, bvals, bnbits, base))
+
+    mask = (1 << mvec_bits(MERANGE)) - 1
+    for f in range(4):
+        is_i = f % GOP == 0
+        ref = frames[f - 1] if f else None
+        mv, vals, nbits = expected_frame_fields(frames[f], ref, is_i, quant)
+        np.testing.assert_array_equal(bvals[f], vals, err_msg=f"frame {f}")
+        np.testing.assert_array_equal(bnbits[f], nbits, err_msg=f"frame {f}")
+        if not is_i:
+            np.testing.assert_array_equal(mvals[f], mv & mask,
+                                          err_msg=f"frame {f} mv")
+        else:
+            assert (mvals[f] == 0).all()
+        # base holds per-stripe totals; stripe s = rows [s*64, (s+1)*64)
+        per_stripe = nbits.reshape(2, -1).sum(axis=1)
+        np.testing.assert_array_equal(base[f], per_stripe)
+
+    widths = bvals[:, :, 0].ravel()
+    np.testing.assert_array_equal(np.asarray(hist),
+                                  np.bincount(widths, minlength=17)[:17])
+
+
+def test_sharded_video_step_large_motion():
+    """Cross-stripe motion: content shifted by more than a stripe's guard."""
+    rng = np.random.default_rng(3)
+    base_img = np.kron(rng.integers(0, 256, (32, 16)),
+                       np.ones((4, 4))).astype(np.uint8)  # 128x64
+    f0 = base_img
+    f1 = np.roll(base_img, 14, axis=0)  # vertical motion near merange
+    frames = np.stack([f0, f1])
+
+    quant = np.full((4, 4), 5.0, dtype=np.float32)
+    mesh = make_mesh(8, frame_axis=2)  # 2 chunks x 4 stripes of 32 rows
+    step = make_sharded_video_step(mesh, GOP, MERANGE, mvec_bits(MERANGE))
+    mvals, bvals, bnbits, base, hist = jax.block_until_ready(
+        step(jnp.asarray(frames), jnp.asarray(quant)))
+
+    mv, vals, nbits = expected_frame_fields(f1, f0, False, quant)
+    mask = (1 << mvec_bits(MERANGE)) - 1
+    np.testing.assert_array_equal(np.asarray(mvals)[1], mv & mask)
+    np.testing.assert_array_equal(np.asarray(bvals)[1], vals)
