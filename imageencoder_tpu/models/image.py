@@ -169,30 +169,35 @@ def decode_blocks(bits: np.ndarray, start_bit: int, n_blocks: int,
     k = block_size * block_size
     offs, dbits, counts, end = walk_block_offsets(bits, start_bit, n_blocks,
                                                   use_rle, block_size)
-    # Parallel coefficient extraction: field (i, j) lives at offs[i]+j*dbits[i].
-    j = np.arange(k, dtype=np.int64)[None, :]
-    live = j < counts[:, None]
-    field_offs = offs[:, None] + j * dbits[:, None].astype(np.int64)
-    field_bits = np.where(live, dbits[:, None], 0)
-    raw = bitpack.read_fields(bits, field_offs.ravel(), field_bits.ravel())
-    coeffs_zz = shift_signed(raw.reshape(n_blocks, k),
-                             np.maximum(dbits[:, None], 1)) * live
+    try:
+        from ..runtime.native import extract_coeffs_native
+
+        coeffs = extract_coeffs_native(
+            np.packbits(bits).tobytes(), offs, dbits, counts,
+            zigzag_order(block_size), block_size)  # int16 row-major
+        coeffs = coeffs.reshape(n_blocks, block_size, block_size)
+    except Exception:
+        # Vectorized numpy fallback: field (i, j) at offs[i] + j*dbits[i].
+        j = np.arange(k, dtype=np.int64)[None, :]
+        live = j < counts[:, None]
+        field_offs = offs[:, None] + j * dbits[:, None].astype(np.int64)
+        field_bits = np.where(live, dbits[:, None], 0)
+        raw = bitpack.read_fields(bits, field_offs.ravel(), field_bits.ravel())
+        coeffs_zz = shift_signed(raw.reshape(n_blocks, k),
+                                 np.maximum(dbits[:, None], 1)) * live
+        zz = zigzag_order(block_size)
+        flat = np.zeros((n_blocks, k), dtype=np.int32)
+        flat[:, zz] = coeffs_zz
+        coeffs = flat.reshape(n_blocks, block_size, block_size)
 
     if backend == "jax" and not residual:
         import jax.numpy as jnp
 
-        from ..ops.pipeline import make_decode_blocks
+        from ..ops.pipeline import make_decode_blocks_rowmajor
 
-        fn = make_decode_blocks(block_size, norm)
-        px = fn(jnp.asarray(coeffs_zz.astype(np.int32)),
-                jnp.asarray(quant.as_float(np.float32)))
+        fn = make_decode_blocks_rowmajor(block_size, norm)
+        px = fn(jnp.asarray(coeffs), jnp.asarray(quant.as_float(np.float32)))
         return np.asarray(px), end
-
-    # Un-zigzag into row-major [N, B, B].
-    zz = zigzag_order(block_size)
-    flat = np.zeros((n_blocks, k), dtype=np.int32)
-    flat[:, zz] = coeffs_zz
-    coeffs = flat.reshape(n_blocks, block_size, block_size)
 
     if residual:
         if backend == "jax":

@@ -136,8 +136,10 @@ def dct2_exact(blocks: np.ndarray, norm: str = "reference") -> np.ndarray:
     w, scale = _fwd_weights(n, norm)
     flat = np.ascontiguousarray(blocks, dtype=np.float64).reshape(-1, n * n)
     acc = np.zeros_like(flat)
+    tmp = np.empty_like(flat)  # preallocated: the 16-step loop is alloc-bound
     for k in range(n * n):
-        acc += flat[:, k, None] * w[k][None, :]
+        np.multiply(flat[:, k, None], w[k][None, :], out=tmp)
+        acc += tmp
     acc *= scale[None, :]
     return acc.reshape(blocks.shape)
 
@@ -148,8 +150,10 @@ def idct2_exact(coeffs: np.ndarray, norm: str = "reference") -> np.ndarray:
     w = _inv_weights(n, norm)
     flat = np.ascontiguousarray(coeffs, dtype=np.float64).reshape(-1, n * n)
     acc = np.zeros_like(flat)
+    tmp = np.empty_like(flat)
     for k in range(n * n):
-        acc += flat[:, k, None] * w[k][None, :]
+        np.multiply(flat[:, k, None], w[k][None, :], out=tmp)
+        acc += tmp
     return acc.reshape(coeffs.shape)
 
 

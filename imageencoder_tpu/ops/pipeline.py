@@ -246,6 +246,28 @@ def make_encode_packed(block_size: int = 4, use_rle: bool = True,
 
 
 @lru_cache(maxsize=None)
+def make_decode_blocks_rowmajor(block_size: int = 4, norm: str = "reference"):
+    """Jitted decode half over ROW-MAJOR coefficients [N,B,B] (the native
+    extractor un-zigzags already): dequant + IDCT + clamp -> [N,B,B] u8."""
+    import jax
+    import jax.numpy as jnp
+
+    b = block_size
+    dct_m = np.asarray(dct_matrix(b, norm), dtype=np.float32)
+
+    @jax.jit
+    def decode_blocks(coeffs, quant):
+        y = coeffs.astype(jnp.float32) * quant.astype(jnp.float32)
+        d = jnp.asarray(dct_m)
+        x = jnp.einsum("ui,nuv,vj->nij", d, y, d,
+                       precision=jax.lax.Precision.HIGHEST)
+        px = x + jnp.float32(128.0)
+        return jnp.floor(jnp.clip(px, 0.0, 255.0)).astype(jnp.uint8)
+
+    return decode_blocks
+
+
+@lru_cache(maxsize=None)
 def make_decode_blocks(block_size: int = 4, norm: str = "reference"):
     """Build the jitted device decode half: parsed coefficients -> pixels.
 

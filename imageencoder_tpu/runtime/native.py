@@ -53,6 +53,13 @@ def _load():
     lib.pack_fields.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_longlong, ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong]
+    lib.extract_coeffs.restype = ctypes.c_longlong
+    lib.extract_coeffs.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int16)]
     _LIB = lib
     return lib
 
@@ -120,6 +127,35 @@ def pack_fields_native(values: np.ndarray, nbits: np.ndarray,
     if rc < 0:
         raise ValueError("native pack_fields failed")
     return out.tobytes(), total_bits
+
+
+def extract_coeffs_native(data: bytes, offsets, dbits, counts,
+                          zz, block_size: int) -> np.ndarray:
+    """Extract + sign-extend + un-zigzag all block coefficients.
+
+    Returns int16 [N, B*B] in row-major coefficient order.
+    """
+    lib = _load()
+    if lib is None:
+        raise ImportError("native runtime not built")
+    buf = np.frombuffer(data, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    dbits = np.ascontiguousarray(dbits, dtype=np.int32)
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    zz32 = np.ascontiguousarray(zz, dtype=np.int32)
+    n = len(offsets)
+    k = block_size * block_size
+    out = np.zeros(n * k, dtype=np.int16)
+    rc = lib.extract_coeffs(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dbits.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+        zz32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), block_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+    if rc < 0:
+        raise ValueError("native extract_coeffs failed")
+    return out.reshape(n, k)
 
 
 def available() -> bool:

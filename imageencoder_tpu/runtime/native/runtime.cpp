@@ -111,6 +111,46 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
     return n_out;
 }
 
+// Coefficient extraction: for each block, read `counts[i]` fields of
+// `bits[i]` bits starting at offsets[i], sign-extend, and store at the
+// row-major position given by the zig-zag LUT (zz[j] = row-major index of
+// the j-th zig-zag coefficient). Unwritten positions must be pre-zeroed by
+// the caller. Reads past the end yield zero bits (reference semantics).
+int64_t extract_coeffs(const uint8_t* data, int64_t nbytes,
+                       const int64_t* offsets, const int32_t* bits,
+                       const int32_t* counts, int64_t n_blocks,
+                       const int32_t* zz, int block_size, int16_t* out) {
+    const int k = block_size * block_size;
+    const int64_t nbits_total = nbytes * 8;
+    for (int64_t n = 0; n < n_blocks; n++) {
+        const int b = bits[n];
+        const int cnt = counts[n] < k ? counts[n] : k;
+        int64_t pos = offsets[n];
+        int16_t* row = out + n * k;
+        if (b == 0) continue;
+        const uint32_t sign_bit = 1u << (b - 1);
+        const uint32_t ext = ~0u << b;
+        for (int j = 0; j < cnt; j++) {
+            uint32_t v = 0;
+            if (pos + b <= nbits_total) {
+                // 3-byte window covers any field of <= 17 bits.
+                const int64_t byte0 = pos >> 3;
+                uint32_t w = (uint32_t)data[byte0] << 16;
+                if (byte0 + 1 < nbytes) w |= (uint32_t)data[byte0 + 1] << 8;
+                if (byte0 + 2 < nbytes) w |= (uint32_t)data[byte0 + 2];
+                v = (w >> (24 - (int)(pos & 7) - b)) & ((1u << b) - 1u);
+            } else {
+                BitReader r{data, nbits_total, pos};
+                v = r.get(b);
+            }
+            pos += b;
+            if (v & sign_bit) v |= ext;  // sign-extend
+            row[zz[j]] = (int16_t)(int32_t)v;
+        }
+    }
+    return 0;
+}
+
 // MSB-first packer: each field's low nbits[i] bits of values[i], concatenated.
 // out must be zeroed by the caller. Returns 0, or -1 if out_cap is too small.
 int64_t pack_fields(const int64_t* values, const int32_t* nbits, int64_t m,
