@@ -66,13 +66,23 @@ def transform_quantize(img, quant, dct_m, block_size: int):
     h, w = img.shape
     by, bx = h // b, w // b
     n = by * bx
+    zz = jnp.asarray(zigzag_order(b))
+
+    if jax.default_backend() == "tpu":
+        # Fused Pallas kernel (bit-identical to the einsum path at HIGHEST
+        # precision; keeps the whole transform in VMEM).
+        from .pallas_kernels import dct_quantize
+
+        c = dct_quantize(img, quant, dct_m, b)
+        coeffs = c.reshape(by, b, bx, b).swapaxes(1, 2).reshape(n, b * b)
+        return coeffs[:, zz]
+
     blocks = img.reshape(by, b, bx, b).swapaxes(1, 2).reshape(n, b, b)
     x = blocks.astype(jnp.float32) - jnp.float32(128.0)
     y = jnp.einsum("ui,nij,vj->nuv", dct_m, x, dct_m,
                    precision=jax.lax.Precision.HIGHEST)
     q = _round_half_away(jnp, y / quant.astype(jnp.float32))
     coeffs = q.astype(jnp.int32).reshape(n, b * b)
-    zz = jnp.asarray(zigzag_order(b))
     return coeffs[:, zz]
 
 
@@ -175,15 +185,22 @@ def stream_byte_histogram(words, total_bits):
     = total_bits and slots 1..256 the byte counts — one array so the host
     needs a single device round-trip for both.
     """
+    import jax
     import jax.numpy as jnp
 
-    lanes = ((words[:, None] >> jnp.array([24, 16, 8, 0], jnp.uint32)[None, :])
-             & jnp.uint32(0xFF)).astype(jnp.uint8).reshape(-1)
     nbytes = (total_bits.astype(jnp.int32) + 7) // 8
-    mask = jnp.arange(lanes.shape[0], dtype=jnp.int32) < nbytes
-    # [M,256] compare fused into the reduction by XLA; no scatter.
-    eq = (lanes[:, None] == jnp.arange(256, dtype=jnp.uint8)[None, :])
-    hist = jnp.sum(eq & mask[:, None], axis=0, dtype=jnp.int32)
+    if jax.default_backend() == "tpu":
+        from .pallas_kernels import byte_histogram
+
+        hist = byte_histogram(words, nbytes)
+    else:
+        lanes = ((words[:, None]
+                  >> jnp.array([24, 16, 8, 0], jnp.uint32)[None, :])
+                 & jnp.uint32(0xFF)).astype(jnp.uint8).reshape(-1)
+        mask = jnp.arange(lanes.shape[0], dtype=jnp.int32) < nbytes
+        # [M,256] compare fused into the reduction by XLA; no scatter.
+        eq = (lanes[:, None] == jnp.arange(256, dtype=jnp.uint8)[None, :])
+        hist = jnp.sum(eq & mask[:, None], axis=0, dtype=jnp.int32)
     return jnp.concatenate([total_bits.astype(jnp.int32)[None], hist])
 
 
