@@ -146,18 +146,21 @@ def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
     write_image_header(writer, quant, use_rle, width, height)
     write_video_params(writer, VideoParams(n_frames, gop, merange))
 
-    if backend == "jax" and ref_mode == "raw":
+    if backend == "jax":
         # Whole video in one device computation (ops/video_pipeline.py):
         # raw-reference mode has no frame-to-frame carry, so motion search,
-        # transforms and bit packing batch over every frame at once.
+        # transforms and bit packing batch over every frame at once;
+        # recon mode carries the reconstruction through a lax.scan.
         import jax.numpy as jnp
 
         from ..ops.device_pack import header_to_words, words_to_bytes
-        from ..ops.video_pipeline import make_encode_video_packed
+        from ..ops.video_pipeline import (make_encode_video_packed,
+                                          make_encode_video_packed_recon)
 
-        fn = make_encode_video_packed(gop, merange, mb, BLOCK_SIZE,
-                                      use_rle, norm,
-                                      with_hist=use_huffman)
+        factory = (make_encode_video_packed if ref_mode == "raw"
+                   else make_encode_video_packed_recon)
+        fn = factory(gop, merange, mb, BLOCK_SIZE, use_rle, norm,
+                     with_hist=use_huffman)
         out = fn(jnp.asarray(frames),
                  jnp.asarray(quant.as_float(np.float32)),
                  np.int32(writer.position),

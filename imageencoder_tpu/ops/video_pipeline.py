@@ -93,6 +93,133 @@ def _batched_motion(frames, gop: int, merange: int):
 
 
 @lru_cache(maxsize=None)
+def make_encode_video_packed_recon(gop: int, merange: int, mvec_nbits: int,
+                                   block_size: int = 4, use_rle: bool = True,
+                                   norm: str = "reference",
+                                   with_hist: bool = False):
+    """Whole-video device encoder for ref_mode="recon" (source semantics).
+
+    Reconstruction-referenced P-frames have a true sequential dependency —
+    frame f's motion reference is frame f-1's reconstruction — so the frame
+    loop becomes a `lax.scan` whose carry is the reconstructed reference
+    frame (SURVEY §5: "inside a GOP the frame recursion is a lax.scan
+    carry").  Per step: batched motion search against the carry, residual
+    transform, wire fields, and the reconstruction (prediction + dequantized
+    residual, Frame.cpp:210-242) which becomes the next carry; I-frames
+    reset the carry to their raw pixels.  The stacked per-frame fields feed
+    the same single pack call as the raw-mode path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    b = block_size
+    dct_m = np.asarray(dct_matrix(b, norm), dtype=np.float32)
+    zz = zigzag_order(b)
+    izz = np.empty(b * b, dtype=np.int32)
+    izz[zz] = np.arange(b * b)
+
+    @jax.jit
+    def encode_video_packed(frames, quant, start_bit, header_words):
+        f, h, w = frames.shape
+        n_micro = (h // b) * (w // b)
+        n_macro = (h // MACRO) * (w // MACRO)
+        k = b * b
+        by_, bx_ = h // b, w // b
+        d = jnp.asarray(dct_m)
+        qf = quant.astype(jnp.float32)
+        is_i = jnp.asarray([fi % gop == 0 for fi in range(f)])
+
+        bx_np, by_np = macro_grid(h, w)
+        bxg, byg = jnp.asarray(bx_np), jnp.asarray(by_np)
+        r = jnp.arange(MACRO)
+
+        def step(ref, inp):
+            cur, i_frame = inp
+
+            def windows(img, py, px):
+                return img[py[:, None, None] + r[None, :, None],
+                           px[:, None, None] + r[None, None, :]]
+
+            cur_blocks = windows(cur, byg, bxg).astype(jnp.int32)
+            off = jnp.zeros((n_macro, 2), dtype=jnp.int32)
+            best = jnp.full((n_macro,), jnp.iinfo(jnp.int32).max, jnp.int32)
+            for stp in search_steps(merange):
+                running = best
+                sel = off
+                for p in range(len(MER_SIGNS)):
+                    sx, sy = int(MER_SIGNS[p, 0]), int(MER_SIGNS[p, 1])
+                    cand = off + jnp.array([sx * stp, sy * stp], jnp.int32)
+                    px = jnp.clip(bxg + cand[:, 0], 0, w - MACRO)
+                    py = jnp.clip(byg + cand[:, 1], 0, h - MACRO)
+                    win = windows(ref, py, px).astype(jnp.int32)
+                    diff = jnp.abs(cur_blocks - win).sum(axis=(1, 2))
+                    skip = ((px == bxg) & (py == byg)) if p > 0 else \
+                        jnp.zeros((n_macro,), bool)
+                    acc = (~skip) & (diff <= running)
+                    running = jnp.where(acc, diff, running)
+                    sel = jnp.where(acc[:, None], cand, sel)
+                off = sel
+                best = running
+
+            px = jnp.clip(bxg + off[:, 0], 0, w - MACRO)
+            py = jnp.clip(byg + off[:, 1], 0, h - MACRO)
+            win = windows(ref, py, px)
+            nbxm = w // MACRO
+            pred = win.reshape(h // MACRO, nbxm, MACRO, MACRO) \
+                      .swapaxes(1, 2).reshape(h, w)
+
+            x = jnp.where(i_frame, cur.astype(jnp.float32),
+                          cur.astype(jnp.float32) - pred.astype(jnp.float32))
+            blocks = x.reshape(by_, b, bx_, b).swapaxes(1, 2)
+            blocks = blocks.reshape(n_micro, b, b) - jnp.float32(128.0)
+            y = jnp.einsum("ui,nij,vj->nuv", d, blocks, d,
+                           precision=jax.lax.Precision.HIGHEST)
+            q = _round_half_away(jnp, y / qf).astype(jnp.int32)
+            coeffs_zz = q.reshape(n_micro, k)[:, jnp.asarray(zz)]
+            vals, nbits = fields_from_coeffs(coeffs_zz, use_rle)
+
+            # Reconstruction for the next carry (Block.cpp:111-119): P-frames
+            # add the dequantized residual onto the prediction; I-frames stay
+            # raw (Frame.cpp:130-159 never reconstructs them).
+            deq = q.astype(jnp.float32) * qf
+            expanded = jnp.einsum("ui,nuv,vj->nij", d, deq, d,
+                                  precision=jax.lax.Precision.HIGHEST) \
+                + jnp.float32(128.0)
+            exp_img = expanded.reshape(by_, bx_, b, b).swapaxes(1, 2) \
+                              .reshape(h, w)
+            recon = jnp.floor(jnp.clip(pred.astype(jnp.float32) + exp_img,
+                                       0.0, 255.0)).astype(jnp.uint8)
+            new_ref = jnp.where(i_frame, cur, recon)
+            return new_ref, (off, vals, nbits)
+
+        init = frames[0]  # frame 0 is always an I-frame (gop >= 1)
+        _, (mvec, bvals, bnbits) = jax.lax.scan(step, init, (frames, is_i))
+
+        mask = (1 << mvec_nbits) - 1
+        mvals = jnp.zeros((f, n_macro, k + 2), dtype=jnp.int32)
+        mnbits = jnp.zeros((f, n_macro, k + 2), dtype=jnp.int32)
+        mvals = mvals.at[:, :, 0].set(mvec[:, :, 0] & mask)
+        mvals = mvals.at[:, :, 1].set(mvec[:, :, 1] & mask)
+        mnbits = mnbits.at[:, :, :2].set(mvec_nbits)
+        mnbits = jnp.where(~is_i[:, None, None], mnbits, 0)
+
+        vals = jnp.concatenate([mvals, bvals], axis=1).reshape(-1, k + 2)
+        nbits = jnp.concatenate([mnbits, bnbits], axis=1).reshape(-1, k + 2)
+        n_rows = f * (n_macro + n_micro)
+        words, total = pack_blocks_device(vals, nbits, start_bit,
+                                          n_rows * 9 + 64)
+        words = words.at[:HEADER_WORDS].set(words[:HEADER_WORDS]
+                                            | header_words)
+        if with_hist:
+            from .pipeline import stream_byte_histogram
+
+            return words, stream_byte_histogram(words, total)
+        return words, total
+
+    return encode_video_packed
+
+
+@lru_cache(maxsize=None)
 def make_encode_video_packed(gop: int, merange: int, mvec_nbits: int,
                              block_size: int = 4, use_rle: bool = True,
                              norm: str = "reference",

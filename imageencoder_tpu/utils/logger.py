@@ -54,6 +54,8 @@ class Logger:
     def progress(cls, current: int, total: int, width: int = 55) -> None:
         if cls._paused or not cls._enabled or total == 0:
             return
+        if not sys.stderr.isatty():  # keep piped/test output clean
+            return
         filled = int(width * current / total)
         if filled == cls._progress_last and current != total:
             return

@@ -63,3 +63,22 @@ def test_device_vs_host_streams_nearly_identical(quant):
     ya = np.frombuffer(da, dtype=np.uint8).astype(np.int32)
     yb = np.frombuffer(db, dtype=np.uint8).astype(np.int32)
     assert np.abs(ya - yb).mean() < 0.5  # tie flips move pixels by ~1 rarely
+
+
+def test_recon_scan_device_path(quant):
+    """lax.scan recon-mode device encoder: decodable, near the host path."""
+    from imageencoder_tpu.models.video import encode_video
+
+    data, frames_list = make_video(smooth=False, seed=5)
+    enc = encode_video(data, 64, 64, quant, True, 4, 16, use_huffman=True,
+                       backend="jax", ref_mode="recon")
+    dec, params, _ = decode_video(enc)
+    assert params.frame_count == 8
+    ys = np.frombuffer(dec, dtype=np.uint8).reshape(8, -1)[:, :64 * 64]
+    orig = np.stack([f.reshape(-1) for f in frames_list]).astype(float)
+    mse = ((ys - orig) ** 2).mean()
+    assert 10 * np.log10(255 ** 2 / mse) > 28
+
+    host = encode_video(data, 64, 64, quant, True, 4, 16, use_huffman=True,
+                        backend="numpy", ref_mode="recon")
+    assert abs(len(host) - len(enc)) < len(host) * 0.02  # f32/f64 tie drift
