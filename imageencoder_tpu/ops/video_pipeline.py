@@ -34,6 +34,108 @@ from .pipeline import _round_half_away, fields_from_coeffs
 from .zigzag import zigzag_order
 
 
+def _batched_motion_sadmap(frames, merange: int):
+    """Gather-free batched motion search via translation SAD maps.
+
+    Element-granular window gathers lower catastrophically on TPU (~350 ms
+    per probe at 720p).  This formulation exploits two structural facts:
+
+      1. every candidate the 2D-log search can visit has an offset within
+         [-(merange-1), merange-1]^2 (the level steps sum to merange-1);
+      2. a CLAMPED candidate (window pushed back inside the frame,
+         ImageBase.cpp:253-254) equals the translation-SAD at the block's
+         *effective* offset clip(pos+off)-pos, which lies in the same range.
+
+    So: precompute S[dy, dx, f, by, bx] = block-pooled SAD of
+    |cur - ref translated by (dy,dx)| for ALL D^2 = (2*merange-1)^2 offsets
+    — each map is one dynamic_slice of an m-padded reference + abs-diff +
+    16x16 sum-pool, a pure streaming computation (lax.scan over offsets,
+    no gathers) — then run the exact reference descent (tie-breaks, skip
+    rule, carry) as TINY [F, Nmb] lookups into S.
+
+    Memory: D^2 * F * Nmb * 4 bytes (e.g. 346 MB for 25 frames of 720p at
+    merange 16); callers chunk frames for very large jobs.
+
+    Returns (mvec [F,Nmb,2], pred [F,H,W]) like _batched_motion; row f is
+    predicted from frames[f-1] (row 0 garbage, masked by caller).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    f, h, w = frames.shape
+    m = int(merange)
+    cur = frames.astype(jnp.int32)
+    ref = jnp.roll(frames, 1, axis=0).astype(jnp.int32)
+
+    nby, nbx = h // MACRO, w // MACRO
+    n = nby * nbx
+    bx_np, by_np = macro_grid(h, w)
+    bx, by = jnp.asarray(bx_np), jnp.asarray(by_np)
+
+    if m < 2:
+        off = jnp.zeros((f, n, 2), jnp.int32)
+    else:
+        d = 2 * (m - 1) + 1
+        pad = m - 1
+        refp = jnp.pad(ref, ((0, 0), (pad, pad), (pad, pad)))
+
+        def pool(x):  # [F,H,W] -> [F,nby,nbx] 16x16 block sums
+            x = x.reshape(f, nby, MACRO, w).sum(axis=2)
+            return x.reshape(f, nby, nbx, MACRO).sum(axis=3)
+
+        def sad_at(carry, od):
+            dy, dx = od[0], od[1]
+            shifted = jax.lax.dynamic_slice(refp, (0, pad + dy, pad + dx),
+                                            (f, h, w))
+            return carry, pool(jnp.abs(cur - shifted))
+
+        offsets = jnp.stack(jnp.meshgrid(jnp.arange(-pad, pad + 1),
+                                         jnp.arange(-pad, pad + 1),
+                                         indexing="ij"),
+                            axis=-1).reshape(-1, 2)  # [(dy,dx)] row-major
+        _, s_maps = jax.lax.scan(sad_at, 0, offsets)
+        s = s_maps.reshape(d, d, f, n)  # [dy, dx, f, block]
+
+        fidx = jnp.arange(f, dtype=jnp.int32)[:, None]
+        bidx = jnp.arange(n, dtype=jnp.int32)[None, :]
+
+        def lookup(cand):
+            dx_eff = jnp.clip(bx[None, :] + cand[:, :, 0], 0, w - MACRO) \
+                - bx[None, :]
+            dy_eff = jnp.clip(by[None, :] + cand[:, :, 1], 0, h - MACRO) \
+                - by[None, :]
+            sad = s[dy_eff + pad, dx_eff + pad, fidx, bidx]
+            return sad, (dx_eff == 0) & (dy_eff == 0)
+
+        off = jnp.zeros((f, n, 2), dtype=jnp.int32)
+        best = jnp.full((f, n), jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        for step in search_steps(m):
+            running = best
+            sel = off
+            for p in range(len(MER_SIGNS)):
+                sx, sy = int(MER_SIGNS[p, 0]), int(MER_SIGNS[p, 1])
+                cand = off + jnp.array([sx * step, sy * step], jnp.int32)
+                diff, at_self = lookup(cand)
+                skip = at_self if p > 0 else jnp.zeros_like(at_self)
+                acc = (~skip) & (diff <= running)
+                running = jnp.where(acc, diff, running)
+                sel = jnp.where(acc[:, :, None], cand, sel)
+            off = sel
+            best = running
+
+    # Single window gather for the final predictions.
+    r = jnp.arange(MACRO)
+    px = jnp.clip(bx[None, :] + off[:, :, 0], 0, w - MACRO)
+    py = jnp.clip(by[None, :] + off[:, :, 1], 0, h - MACRO)
+    refu8 = jnp.roll(frames, 1, axis=0)
+    win = refu8[jnp.arange(f)[:, None, None, None],
+                py[:, :, None, None] + r[None, None, :, None],
+                px[:, :, None, None] + r[None, None, None, :]]
+    pred = win.reshape(f, nby, nbx, MACRO, MACRO) \
+              .swapaxes(2, 3).reshape(f, h, w)
+    return off, pred
+
+
 def _batched_motion(frames, gop: int, merange: int):
     """Motion vectors + predictions for every frame (I-frame rows unused).
 
@@ -243,7 +345,15 @@ def make_encode_video_packed(gop: int, merange: int, mvec_nbits: int,
         k = b * b
 
         is_i = np.array([fi % gop == 0 for fi in range(f)])
-        mvec, pred = _batched_motion(frames, gop, merange)
+        # SAD-map search when its S tensor fits comfortably (it is ~400x
+        # faster than per-probe window gathers on TPU); gather fallback
+        # otherwise.
+        d_span = 2 * (merange - 1) + 1 if merange >= 2 else 1
+        s_bytes = (d_span ** 2) * f * (h // MACRO) * (w // MACRO) * 4
+        if s_bytes <= 2 << 30:
+            mvec, pred = _batched_motion_sadmap(frames, merange)
+        else:
+            mvec, pred = _batched_motion(frames, gop, merange)
 
         # Transform input: pixels for I-frames, residual for P-frames.
         # Residual carries the same -128 bias (SUBTRACT_128, Block.cpp:139).
