@@ -59,13 +59,26 @@ def _batched_motion_sadmap(frames, merange: int):
     Returns (mvec [F,Nmb,2], pred [F,H,W]) like _batched_motion; row f is
     predicted from frames[f-1] (row 0 garbage, masked by caller).
     """
+    import jax.numpy as jnp
+
+    refu8 = jnp.roll(frames, 1, axis=0)
+    return sad_motion_search(frames, refu8, merange)
+
+
+def sad_motion_search(cur_u8, ref_u8, merange: int):
+    """Gather-free search core: cur/ref [F,H,W] u8 (explicit references).
+
+    See :func:`_batched_motion_sadmap` for the method; works for any F
+    including 1 (used by the lax.scan recon path per step).
+    """
     import jax
     import jax.numpy as jnp
 
+    frames = cur_u8
     f, h, w = frames.shape
     m = int(merange)
     cur = frames.astype(jnp.int32)
-    ref = jnp.roll(frames, 1, axis=0).astype(jnp.int32)
+    ref = ref_u8.astype(jnp.int32)
 
     nby, nbx = h // MACRO, w // MACRO
     n = nby * nbx
@@ -127,8 +140,7 @@ def _batched_motion_sadmap(frames, merange: int):
     r = jnp.arange(MACRO)
     px = jnp.clip(bx[None, :] + off[:, :, 0], 0, w - MACRO)
     py = jnp.clip(by[None, :] + off[:, :, 1], 0, h - MACRO)
-    refu8 = jnp.roll(frames, 1, axis=0)
-    win = refu8[jnp.arange(f)[:, None, None, None],
+    win = ref_u8[jnp.arange(f)[:, None, None, None],
                 py[:, :, None, None] + r[None, None, :, None],
                 px[:, :, None, None] + r[None, None, None, :]]
     pred = win.reshape(f, nby, nbx, MACRO, MACRO) \
@@ -231,44 +243,10 @@ def make_encode_video_packed_recon(gop: int, merange: int, mvec_nbits: int,
         qf = quant.astype(jnp.float32)
         is_i = jnp.asarray([fi % gop == 0 for fi in range(f)])
 
-        bx_np, by_np = macro_grid(h, w)
-        bxg, byg = jnp.asarray(bx_np), jnp.asarray(by_np)
-        r = jnp.arange(MACRO)
-
         def step(ref, inp):
             cur, i_frame = inp
-
-            def windows(img, py, px):
-                return img[py[:, None, None] + r[None, :, None],
-                           px[:, None, None] + r[None, None, :]]
-
-            cur_blocks = windows(cur, byg, bxg).astype(jnp.int32)
-            off = jnp.zeros((n_macro, 2), dtype=jnp.int32)
-            best = jnp.full((n_macro,), jnp.iinfo(jnp.int32).max, jnp.int32)
-            for stp in search_steps(merange):
-                running = best
-                sel = off
-                for p in range(len(MER_SIGNS)):
-                    sx, sy = int(MER_SIGNS[p, 0]), int(MER_SIGNS[p, 1])
-                    cand = off + jnp.array([sx * stp, sy * stp], jnp.int32)
-                    px = jnp.clip(bxg + cand[:, 0], 0, w - MACRO)
-                    py = jnp.clip(byg + cand[:, 1], 0, h - MACRO)
-                    win = windows(ref, py, px).astype(jnp.int32)
-                    diff = jnp.abs(cur_blocks - win).sum(axis=(1, 2))
-                    skip = ((px == bxg) & (py == byg)) if p > 0 else \
-                        jnp.zeros((n_macro,), bool)
-                    acc = (~skip) & (diff <= running)
-                    running = jnp.where(acc, diff, running)
-                    sel = jnp.where(acc[:, None], cand, sel)
-                off = sel
-                best = running
-
-            px = jnp.clip(bxg + off[:, 0], 0, w - MACRO)
-            py = jnp.clip(byg + off[:, 1], 0, h - MACRO)
-            win = windows(ref, py, px)
-            nbxm = w // MACRO
-            pred = win.reshape(h // MACRO, nbxm, MACRO, MACRO) \
-                      .swapaxes(1, 2).reshape(h, w)
+            off1, pred1 = sad_motion_search(cur[None], ref[None], merange)
+            off, pred = off1[0], pred1[0]
 
             x = jnp.where(i_frame, cur.astype(jnp.float32),
                           cur.astype(jnp.float32) - pred.astype(jnp.float32))
