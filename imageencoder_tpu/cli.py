@@ -37,6 +37,9 @@ def main(argv=None) -> int:
                     help="video motion reference: raw = shipped-binary "
                          "parity (fully parallel), recon = source-code "
                          "semantics (tracks the decoder more closely)")
+    ap.add_argument("--checkpoint-dir", default="",
+                    help="video encode: persist per-GOP segments here and "
+                         "resume after interruption (utils/checkpoint.py)")
     args = ap.parse_args(argv)
 
     c = ConfigReader()
@@ -85,14 +88,31 @@ def _run(c, mode, args, use_huffman) -> int:
     if mode == "video-encode":
         quant = QuantMatrix.from_file(c.get("quantfile"))
         t0 = time.perf_counter()
-        enc = VideoEncoder(c.get("rawfile"), c.get("encfile"),
-                           int(c.get("width")), int(c.get("height")),
-                           bool(int(c.get("rle"))), quant,
-                           int(c.get("gop")), int(c.get("merange")),
-                           use_huffman=use_huffman, backend=args.backend,
-                           ref_mode=args.ref_mode)
-        enc.process()
-        enc.save_result()
+        if args.checkpoint_dir:
+            from .utils.checkpoint import encode_video_checkpointed
+
+            with open(c.get("rawfile"), "rb") as f:
+                data = f.read()
+            Logger.write("[VideoEncoder] Processing video (checkpointed)...")
+            result = encode_video_checkpointed(
+                data, int(c.get("width")), int(c.get("height")), quant,
+                bool(int(c.get("rle"))), int(c.get("gop")),
+                int(c.get("merange")), args.checkpoint_dir,
+                use_huffman=use_huffman, backend=args.backend,
+                ref_mode=args.ref_mode)
+            with open(c.get("encfile"), "wb") as f:
+                f.write(result)
+            Logger.write(f"[VideoEncoder] Encoded size: {len(result)} bytes"
+                         f" => Ratio: {len(result) / len(data) * 100:.2f}%")
+        else:
+            enc = VideoEncoder(c.get("rawfile"), c.get("encfile"),
+                               int(c.get("width")), int(c.get("height")),
+                               bool(int(c.get("rle"))), quant,
+                               int(c.get("gop")), int(c.get("merange")),
+                               use_huffman=use_huffman, backend=args.backend,
+                               ref_mode=args.ref_mode)
+            enc.process()
+            enc.save_result()
         Logger.write(f"Elapsed time: {1e3 * (time.perf_counter() - t0):.3f} ms")
         if "decfile" in c.values and args.mode in ("decode", "both"):
             dec = VideoDecoder(c.get("encfile"), c.get("decfile"),
