@@ -153,24 +153,46 @@ def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
         # recon mode carries the reconstruction through a lax.scan.
         import jax.numpy as jnp
 
-        from ..ops.device_pack import header_to_words, words_to_bytes
+        from ..ops.device_pack import (HEADER_WORDS, header_to_words,
+                                       words_to_bytes)
         from ..ops.video_pipeline import (make_encode_video_packed,
                                           make_encode_video_packed_recon)
 
         factory = (make_encode_video_packed if ref_mode == "raw"
                    else make_encode_video_packed_recon)
-        fn = factory(gop, merange, mb, BLOCK_SIZE, use_rle, norm,
-                     with_hist=use_huffman)
-        out = fn(jnp.asarray(frames),
-                 jnp.asarray(quant.as_float(np.float32)),
-                 np.int32(writer.position),
-                 jnp.asarray(header_to_words(writer.getvalue())))
-        if use_huffman:
-            from ..ops.huffman import huffman_encode_from_meta
+        quant_f = jnp.asarray(quant.as_float(np.float32))
+        if n_frames <= 32:
+            fn = factory(gop, merange, mb, BLOCK_SIZE, use_rle, norm,
+                         with_hist=use_huffman)
+            out = fn(jnp.asarray(frames), quant_f,
+                     np.int32(writer.position),
+                     jnp.asarray(header_to_words(writer.getvalue())))
+            if use_huffman:
+                from ..ops.huffman import huffman_encode_from_meta
 
-            return huffman_encode_from_meta(*out)
-        words, total = out
-        return words_to_bytes(words, int(total))
+                return huffman_encode_from_meta(*out)
+            words, total = out
+            return words_to_bytes(words, int(total))
+
+        # Long videos: GOP-aligned chunks (GOPs are independent) encoded at
+        # bit offset 0 and bit-spliced — identical stream, bounded memory.
+        chunk = max(gop, (32 // gop) * gop)
+        zeros_hdr = jnp.zeros(HEADER_WORDS, jnp.uint32)
+        segments = [(writer.getvalue(), writer.position)]
+        fn = None
+        for s in range(0, n_frames, chunk):
+            part = frames[s:s + chunk]
+            fnc = factory(gop, merange, mb, BLOCK_SIZE, use_rle, norm,
+                          with_hist=False)
+            words, total = fnc(jnp.asarray(part), quant_f, np.int32(0),
+                               zeros_hdr)
+            segments.append((words_to_bytes(words, int(total)), int(total)))
+        inner = bitpack.concat_bit_segments(segments)
+        if use_huffman:
+            from ..ops.huffman import huffman_encode
+
+            return huffman_encode(inner)
+        return inner
 
     ref: np.ndarray | None = None  # previous frame (raw, or recon P)
     Logger.progress(0, n_frames)

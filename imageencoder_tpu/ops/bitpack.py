@@ -69,6 +69,24 @@ def to_bits(data) -> np.ndarray:
     return np.unpackbits(np.frombuffer(data, dtype=np.uint8))
 
 
+def concat_bit_segments(segments) -> bytes:
+    """Concatenate (bytes, nbits) bit strings at bit granularity.
+
+    Each segment's payload starts at bit 0 of its byte string; the result
+    is the MSB-first concatenation of exactly nbits from each.  Used to
+    splice independently-encoded GOP/stripe payloads into one stream
+    (GOP boundaries are not byte-aligned).
+    """
+    total_bits = sum(nb for _, nb in segments)
+    bitbuf = np.zeros(((total_bits + 7) // 8) * 8, dtype=np.uint8)
+    pos = 0
+    for data, nb in segments:
+        bitbuf[pos:pos + nb] = np.unpackbits(
+            np.frombuffer(data, dtype=np.uint8))[:nb]
+        pos += nb
+    return np.packbits(bitbuf).tobytes()
+
+
 def read_fields(bits: np.ndarray, offsets, nbits) -> np.ndarray:
     """Gather unsigned field values from a bit vector.
 

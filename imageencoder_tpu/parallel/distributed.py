@@ -75,17 +75,8 @@ def assemble(segments: dict, n_frames: int, width: int, height: int, quant,
         np.array(writer.nbits, dtype=np.int64))
 
     order = sorted(segments)
-    total_bits = header_bits + sum(segments[i][1] for i in order)
-    bitbuf = np.zeros(((total_bits + 7) // 8) * 8, dtype=np.uint8)
-    bitbuf[:header_bits] = np.unpackbits(
-        np.frombuffer(header, dtype=np.uint8))[:header_bits]
-    pos = header_bits
-    for i in order:
-        seg, nb = segments[i]
-        bitbuf[pos:pos + nb] = np.unpackbits(
-            np.frombuffer(seg, dtype=np.uint8))[:nb]
-        pos += nb
-    inner = np.packbits(bitbuf).tobytes()
+    inner = bitpack.concat_bit_segments(
+        [(header, header_bits)] + [segments[i] for i in order])
 
     if use_huffman:
         from ..ops.huffman import huffman_encode

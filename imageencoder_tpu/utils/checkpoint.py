@@ -118,16 +118,7 @@ def encode_video_checkpointed(data: bytes, width: int, height: int,
         np.array(writer.values, dtype=np.int64),
         np.array(writer.nbits, dtype=np.int64))
 
-    total_bits = header_bits + sum(nb for _, nb in segments)
-    bitbuf = np.zeros(((total_bits + 7) // 8) * 8, dtype=np.uint8)
-    bitbuf[:header_bits] = np.unpackbits(
-        np.frombuffer(header, dtype=np.uint8))[:header_bits]
-    pos = header_bits
-    for seg, nb in segments:
-        bitbuf[pos:pos + nb] = np.unpackbits(
-            np.frombuffer(seg, dtype=np.uint8))[:nb]
-        pos += nb
-    inner = np.packbits(bitbuf).tobytes()
+    inner = bitpack.concat_bit_segments([(header, header_bits)] + segments)
 
     if use_huffman:
         from ..ops.huffman import huffman_encode

@@ -82,3 +82,34 @@ def test_recon_scan_device_path(quant):
     host = encode_video(data, 64, 64, quant, True, 4, 16, use_huffman=True,
                         backend="numpy", ref_mode="recon")
     assert abs(len(host) - len(enc)) < len(host) * 0.02  # f32/f64 tie drift
+
+
+def test_long_video_gop_chunking_identical(quant):
+    """>32-frame device encode chunks by GOPs; stream must equal the
+    unchunked device encode bit-for-bit."""
+    import jax.numpy as jnp
+
+    from imageencoder_tpu.models.headers import (VideoParams,
+                                                 write_image_header,
+                                                 write_video_params)
+    from imageencoder_tpu.models.video import encode_video, mvec_bits
+    from imageencoder_tpu.ops.bitpack import BitWriter
+    from imageencoder_tpu.ops.device_pack import header_to_words, words_to_bytes
+    from imageencoder_tpu.ops.video_pipeline import make_encode_video_packed
+
+    data, _ = make_video(n=40, seed=31, smooth=False)
+    chunked = encode_video(data, 64, 64, quant, True, 4, 16,
+                           use_huffman=False, backend="jax")
+
+    frames = split_yuv420(data, 64, 64)
+    w = BitWriter()
+    w.put_bit(0)
+    write_image_header(w, quant, True, 64, 64)
+    write_video_params(w, VideoParams(40, 4, 16))
+    fn = make_encode_video_packed(4, 16, mvec_bits(16), 4, True, "reference")
+    words, total = fn(jnp.asarray(frames),
+                      jnp.asarray(quant.as_float(np.float32)),
+                      np.int32(w.position),
+                      jnp.asarray(header_to_words(w.getvalue())))
+    unchunked = words_to_bytes(words, int(total))
+    assert chunked == unchunked
