@@ -31,7 +31,6 @@ from ..ops.zigzag import zigzag_order
 from ..utils.bits import shift_signed
 from ..utils.logger import Logger
 from ..utils.quant import QuantMatrix
-from . import headers
 from .headers import read_image_header, write_image_header
 
 BLOCK_SIZE = 4  # dc::BlockSize (Block.hpp:13); other sizes supported via block_size=

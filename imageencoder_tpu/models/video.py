@@ -43,15 +43,14 @@ from ..ops import bitpack, rle
 from ..ops.bitpack import BitReader, BitWriter
 from ..ops.blockify import blockify, deblockify
 from ..ops.dct import clamp_to_u8, forward_transform, inverse_transform
-from ..ops.motion import MACRO, find_motion, macro_grid, predict_image
+from ..ops.motion import MACRO, find_motion, predict_image
 from ..ops.zigzag import zigzag_order
 from ..utils.bits import bits_needed, shift_signed
 from ..utils.logger import Logger
 from ..utils.quant import QuantMatrix
-from . import headers
 from .headers import (VideoParams, read_image_header, read_video_params,
                       write_image_header, write_video_params)
-from .image import BLOCK_SIZE, decode_blocks, encode_blocks, walk_block_offsets
+from .image import BLOCK_SIZE, decode_blocks, encode_blocks
 
 UV_FILL = 0x80  # dc::VIDEO_UV_FILL (Frame.hpp:12)
 

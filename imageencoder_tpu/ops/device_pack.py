@@ -26,8 +26,6 @@ host-built header into the zero-prefix afterwards).
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 import numpy as np
 
 LOCAL_WORDS = 9  # 288 bits >= 4 + 17 * 16 for 4x4 blocks

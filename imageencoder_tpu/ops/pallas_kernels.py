@@ -19,8 +19,6 @@ from __future__ import annotations
 
 from functools import lru_cache
 
-import numpy as np
-
 CHUNK_ROWS = 8
 CHUNK_LANES = 512  # words per row chunk; 8x512 u32 = 16 KB per step
 

@@ -23,7 +23,7 @@ coefficients (~0.1%); streams remain decoder-compatible either way.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import numpy as np
 
