@@ -114,9 +114,3 @@ def words_to_bytes(words: np.ndarray, total_bits: int) -> bytes:
     nbytes = (int(total_bits) + 7) // 8
     nw = (nbytes + 3) // 4
     return np.asarray(words[:nw]).astype(">u4").tobytes()[:nbytes]
-
-
-def or_header_into(stream: bytearray, header: bytes) -> None:
-    """OR a host-packed header into the zero-prefix of the device stream."""
-    for i, b in enumerate(header):
-        stream[i] |= b

@@ -282,33 +282,3 @@ def make_decode_blocks_rowmajor(block_size: int = 4, norm: str = "reference"):
         return jnp.floor(jnp.clip(px, 0.0, 255.0)).astype(jnp.uint8)
 
     return decode_blocks
-
-
-@lru_cache(maxsize=None)
-def make_decode_blocks(block_size: int = 4, norm: str = "reference"):
-    """Build the jitted device decode half: parsed coefficients -> pixels.
-
-    f(coeffs_zz int32 [N,K], quant f32) -> [N,B,B] uint8 reconstructed tiles
-    (Block::processIDCTMulQ + expand clamp, Block.cpp:163-177, 100-107).
-    """
-    import jax
-    import jax.numpy as jnp
-
-    b = block_size
-    dct_m = np.asarray(dct_matrix(b, norm), dtype=np.float32)
-    zz = zigzag_order(b)
-    inv = np.empty_like(zz)
-    inv[zz] = np.arange(len(zz))
-
-    @jax.jit
-    def decode_blocks(coeffs_zz, quant):
-        n = coeffs_zz.shape[0]
-        flat = coeffs_zz[:, jnp.asarray(inv)]
-        y = flat.reshape(n, b, b).astype(jnp.float32) * quant.astype(jnp.float32)
-        d = jnp.asarray(dct_m)
-        x = jnp.einsum("ui,nuv,vj->nij", d, y, d,
-                       precision=jax.lax.Precision.HIGHEST)
-        px = x + jnp.float32(128.0)
-        return jnp.floor(jnp.clip(px, 0.0, 255.0)).astype(jnp.uint8)
-
-    return decode_blocks
