@@ -200,12 +200,12 @@ def decode_blocks(bits: np.ndarray, start_bit: int, n_blocks: int,
 
     if residual:
         if backend == "jax":
-            import jax.numpy as jnp
-
-            px = inverse_transform(jnp.asarray(coeffs),
+            # Host float32 matmul: per-frame device round-trips cost more
+            # in dispatch latency than this 2x batched GEMM computes.
+            px = inverse_transform(np.asarray(coeffs),
                                    quant.as_float(np.float32), norm,
-                                   dtype=jnp.float32)
-            return np.asarray(px, dtype=np.float64), end
+                                   dtype=np.float32)
+            return px.astype(np.float64), end
         return inverse_transform(coeffs, quant.as_float(), norm), end
 
     px = inverse_transform(coeffs, quant.as_float(), norm)

@@ -71,3 +71,20 @@ def test_empty_ish_image():
     enc_ = encode_image(img, q, True, use_huffman=False)
     out = decode_image(enc_)
     np.testing.assert_array_equal(out, img)
+
+
+def test_encode_deterministic_across_runs(quant):
+    """No data races: repeated encodes are byte-identical (the reference
+    relies on OpenMP loop structure for this; we rely on pure functions)."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    streams = {encode_image(img, quant, True, use_huffman=True)
+               for _ in range(3)}
+    assert len(streams) == 1
+
+    y = np.kron(rng.integers(0, 256, (8, 8)), np.ones((8, 8))).astype(np.uint8)
+    data = b"".join(np.roll(y, k, axis=1).tobytes() + bytes([0x80]) * 2048
+                    for k in range(4))
+    vstreams = {encode_video(data, 64, 64, quant, True, 2, 8)
+                for _ in range(3)}
+    assert len(vstreams) == 1
