@@ -122,7 +122,7 @@ def test_no_huffman_stream_roundtrip(quant):
     assert dec.shape == img.shape
 
 
-@pytest.mark.parametrize("name", ["ex0", "ex6", "ex2"])
+@pytest.mark.parametrize("name", ["ex0", "ex6", "ex2", "ex3", "ex1", "ex4"])
 def test_fixture_cross_parity(ref, quant, name):
     """Full pipeline on real fixtures: our encode -> reference decode equals
     reference encode -> reference decode (coefficient-level parity)."""
