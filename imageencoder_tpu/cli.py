@@ -40,6 +40,13 @@ def main(argv=None) -> int:
     ap.add_argument("--checkpoint-dir", default="",
                     help="video encode: persist per-GOP segments here and "
                          "resume after interruption (utils/checkpoint.py)")
+    ap.add_argument("--block-size", type=int, default=4, choices=[4, 8],
+                    help="image transform block size (reference supports 4; "
+                         "8 requires --norm ortho)")
+    ap.add_argument("--norm", choices=["reference", "ortho"],
+                    default="reference",
+                    help="DCT scaling: reference = 4x4-only C() quirk "
+                         "(bit parity), ortho = correct for any size")
     args = ap.parse_args(argv)
 
     c = ConfigReader()
@@ -65,21 +72,23 @@ def main(argv=None) -> int:
 def _run(c, mode, args, use_huffman) -> int:
 
     if mode == "image":
-        quant = QuantMatrix.from_file(c.get("quantfile"))
+        quant = QuantMatrix.from_file(c.get("quantfile"), size=args.block_size)
         w, h = int(c.get("width")), int(c.get("height"))
         rle = bool(int(c.get("rle")))
         if args.mode in ("encode", "both"):
             t0 = time.perf_counter()
             enc = ImageEncoder(c.get("rawfile"), c.get("encfile"), w, h, rle,
                                quant, use_huffman=use_huffman,
-                               backend=args.backend)
+                               backend=args.backend, norm=args.norm,
+                               block_size=args.block_size)
             enc.process()
             enc.save_result()
             Logger.write(f"Elapsed time: {1e3 * (time.perf_counter() - t0):.3f} ms")
         if args.mode in ("decode", "both"):
             t0 = time.perf_counter()
             dec = ImageDecoder(c.get("encfile"), c.get("decfile"),
-                               backend=args.backend)
+                               backend=args.backend, norm=args.norm,
+                               block_size=args.block_size)
             dec.process()
             dec.save_result()
             Logger.write(f"Elapsed time: {1e3 * (time.perf_counter() - t0):.3f} ms")

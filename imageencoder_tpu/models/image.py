@@ -245,6 +245,8 @@ class ImageEncoder:
     quant: QuantMatrix
     use_huffman: bool = True
     backend: str = "numpy"
+    norm: str = "reference"
+    block_size: int = BLOCK_SIZE
 
     def process(self) -> bool:
         img = np.fromfile(self.source_file, dtype=np.uint8)
@@ -254,7 +256,8 @@ class ImageEncoder:
         self._result = encode_image(img.reshape(self.height, self.width),
                                     self.quant, self.use_rle,
                                     use_huffman=self.use_huffman,
-                                    backend=self.backend)
+                                    norm=self.norm, backend=self.backend,
+                                    block_size=self.block_size)
         return True
 
     def save_result(self) -> None:
@@ -272,12 +275,16 @@ class ImageDecoder:
     source_file: str
     dest_file: str
     backend: str = "numpy"
+    norm: str = "reference"
+    block_size: int = BLOCK_SIZE
 
     def process(self) -> bool:
         with open(self.source_file, "rb") as f:
             data = f.read()
         Logger.write("[ImageDecoder] Processing image...")
-        self._result = decode_image(data, backend=self.backend)
+        self._result = decode_image(data, norm=self.norm,
+                                    backend=self.backend,
+                                    block_size=self.block_size)
         return True
 
     def save_result(self) -> None:
