@@ -1,0 +1,119 @@
+"""Batched multi-image encoding — the production serving path.
+
+Encoding one image is latency-bound (host<->device round trips); serving
+encodes many.  This path runs transform + stats + bit packing for a WHOLE
+BATCH of same-shape images in one jit dispatch:
+
+    imgs [B,H,W] u8 -> per-image records -> one segmented pack where every
+    image's stream region starts word-aligned -> host splits the word
+    buffer per image, ORs in the (shared-shape) header, and entropy-codes
+    each stream (threaded across images; the serial Huffman dict build is
+    256 symbols, and the C++ packer releases the GIL).
+
+The per-image streams are byte-identical to single-image encodes.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from functools import lru_cache
+
+import numpy as np
+
+from ..ops.bitpack import BitWriter
+from ..ops.device_pack import LOCAL_WORDS, pack_blocks_device
+from ..ops.pipeline import fields_from_coeffs, transform_quantize
+from ..ops.dct import dct_matrix
+from ..utils.quant import QuantMatrix
+from .headers import write_image_header
+from .image import BLOCK_SIZE
+
+
+@lru_cache(maxsize=None)
+def _make_batch_encode(block_size: int, use_rle: bool, norm: str):
+    import jax
+    import jax.numpy as jnp
+
+    dct_m = np.asarray(dct_matrix(block_size, norm), dtype=np.float32)
+
+    @jax.jit
+    def batch_encode(imgs, quant, hdr_bits):
+        bsz, h, w = imgs.shape
+        n = (h // block_size) * (w // block_size)
+        k = block_size * block_size
+
+        def one(img):
+            czz = transform_quantize(img, quant, jnp.asarray(dct_m),
+                                     block_size)
+            return fields_from_coeffs(czz, use_rle)
+
+        vals, nbits = jax.vmap(one)(imgs)  # [B, N, K+2]
+
+        # Segmented pack: image s's region starts at word boundary
+        # seg_word_start[s]; records inside start after the header bits.
+        rec_bits = jnp.sum(nbits, axis=(1, 2))  # [B]
+        seg_bits = rec_bits + hdr_bits
+        seg_words = (seg_bits + 31) // 32
+        seg_word_start = jnp.cumsum(seg_words) - seg_words  # [B] exclusive
+
+        seg_base_bits = seg_word_start * 32 + hdr_bits  # [B]
+        # Per-record absolute starts: segment base + intra-segment cumsum.
+        rec_each = jnp.sum(nbits, axis=2)  # [B, N]
+        intra = jnp.cumsum(rec_each, axis=1) - rec_each  # [B, N]
+        starts = (seg_base_bits[:, None] + intra).reshape(bsz * n)
+
+        flat_vals = vals.reshape(bsz * n, k + 2)
+        flat_nbits = nbits.reshape(bsz * n, k + 2)
+        n_words = int(bsz) * (n * 9 + 64)
+        words, _ = pack_blocks_device(flat_vals, flat_nbits, jnp.int32(0),
+                                      n_words, starts=starts)
+        return words, seg_word_start, seg_bits
+
+    return batch_encode
+
+
+def encode_image_batch(imgs, quant: QuantMatrix, use_rle: bool = True,
+                       use_huffman: bool = True, norm: str = "reference",
+                       block_size: int = BLOCK_SIZE,
+                       max_workers: int = 8) -> list[bytes]:
+    """Encode a batch of same-shape images. Returns one stream per image,
+    byte-identical to per-image `encode_image(..., backend="jax")`."""
+    import jax.numpy as jnp
+
+    imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
+    bsz, h, w = imgs.shape
+    assert h % block_size == 0 and w % block_size == 0
+
+    writer = BitWriter()
+    if not use_huffman:
+        writer.put_bit(0)
+    write_image_header(writer, quant, use_rle, w, h)
+    header = writer.getvalue()
+    hdr_bits = writer.position
+
+    fn = _make_batch_encode(block_size, use_rle, norm)
+    words, seg_word_start, seg_bits = fn(
+        jnp.asarray(imgs), jnp.asarray(quant.as_float(np.float32)),
+        np.int32(hdr_bits))
+    words = np.asarray(words)
+    seg_word_start = np.asarray(seg_word_start)
+    seg_bits = np.asarray(seg_bits)
+
+    def finish(s):
+        nbytes = (int(seg_bits[s]) + 7) // 8
+        nw = (nbytes + 3) // 4
+        w0 = int(seg_word_start[s])
+        inner = bytearray(words[w0:w0 + nw].astype(">u4").tobytes()[:nbytes])
+        for i, b in enumerate(header):
+            inner[i] |= b
+        inner = bytes(inner)
+        if use_huffman:
+            from ..ops.huffman import huffman_encode
+
+            return huffman_encode(inner)
+        return inner
+
+    if bsz == 1:
+        return [finish(0)]
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        return list(ex.map(finish, range(bsz)))

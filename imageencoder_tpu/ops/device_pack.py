@@ -40,13 +40,16 @@ def header_to_words(header: bytes) -> np.ndarray:
     return buf.view(">u4").astype(np.uint32)
 
 
-def pack_blocks_device(vals, nbits, start_bit, n_words: int):
+def pack_blocks_device(vals, nbits, start_bit, n_words: int, starts=None):
     """Pack per-block fields into a global uint32 word array on device.
 
     vals:  int32 [N, F] field values (will be truncated to field width)
     nbits: int32 [N, F] field widths, 0 = skip (<= 16)
     start_bit: traced int32 scalar — absolute bit offset of block 0
     n_words: static output size (upper bound; tail words stay 0)
+    starts: optional int32 [N] absolute bit offset per block; when given,
+        blocks land at these positions instead of the dense cumsum layout
+        (callers guarantee non-overlap; used for segmented/aligned packing).
 
     Returns (words uint32 [n_words] MSB-first within each word,
              total_bits int32 scalar incl. start_bit).
@@ -90,8 +93,11 @@ def pack_blocks_device(vals, nbits, start_bit, n_words: int):
                        axis=1, dtype=u32))
 
     # Level 2: global funnel shift + scatter.
-    starts = (jnp.cumsum(block_bits) - block_bits
-              + jnp.asarray(start_bit, jnp.int32))  # [N]
+    if starts is None:
+        starts = (jnp.cumsum(block_bits) - block_bits
+                  + jnp.asarray(start_bit, jnp.int32))  # [N]
+    else:
+        starts = starts.astype(jnp.int32)
     total_bits = starts[-1] + block_bits[-1] if n else jnp.asarray(start_bit)
 
     s = (starts & 31).astype(u32)[:, None]  # [N,1]
