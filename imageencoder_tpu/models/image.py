@@ -215,6 +215,10 @@ def decode_blocks(bits: np.ndarray, start_bit: int, n_blocks: int,
 def decode_image(data: bytes, norm: str = "reference", backend: str = "numpy",
                  block_size: int = BLOCK_SIZE):
     """Decode a reference-format stream back to a [H,W] uint8 image."""
+    if not data:
+        from ..utils.exceptions import StreamFormatError
+
+        raise StreamFormatError("empty stream")
     bits = bitpack.to_bits(data)
     if bits[0]:
         from ..ops.huffman import huffman_decode

@@ -229,6 +229,10 @@ def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
 def decode_video(data: bytes, motioncomp: bool = True,
                  norm: str = "reference", backend: str = "numpy"):
     """Decode a video stream. Returns (yuv420 bytes, VideoParams, (w, h))."""
+    if not data:
+        from ..utils.exceptions import StreamFormatError
+
+        raise StreamFormatError("empty stream")
     bits = bitpack.to_bits(data)
     if bits[0]:
         from ..ops.huffman import huffman_decode

@@ -88,3 +88,12 @@ def test_encode_deterministic_across_runs(quant):
     vstreams = {encode_video(data, 64, 64, quant, True, 2, 8)
                 for _ in range(3)}
     assert len(vstreams) == 1
+
+
+def test_empty_stream_raises_typed_error():
+    from imageencoder_tpu.utils.exceptions import StreamFormatError
+
+    with pytest.raises(StreamFormatError):
+        decode_image(b"")
+    with pytest.raises(StreamFormatError):
+        decode_video(b"")
