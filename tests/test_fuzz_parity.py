@@ -65,6 +65,13 @@ def test_fuzz_inner_payload_parity(tmp_path, ref, qi, use_rle):
         # Compare exactly the parse-defined stream extent (bitwise: the
         # Huffman unwrap decodes trailing pad bits into junk beyond it).
         end_bits = _stream_bits(oi)
+        if not ref_enc[0] >> 7:
+            # The reference's Huffman FALLBACK overflows its output buffer
+            # by one bit (Huffman.cpp:332-340, SURVEY quirks) — verified:
+            # the stream's tail bits change with unrelated heap state (e.g.
+            # the job's file-name length flips them).  Trust nothing in the
+            # last two bytes of the reference stream.
+            end_bits = min(end_bits, (len(ref_enc) - 2) * 8 - 1)
         full, rem = divmod(end_bits, 8)
         assert len(ri) * 8 >= end_bits and len(oi) * 8 >= end_bits
         assert ri[:full] == oi[:full], (qi, use_rle, i)
