@@ -111,7 +111,8 @@ def encode_image(img: np.ndarray, quant: QuantMatrix, use_rle: bool = True,
 
 
 def walk_block_offsets(bits: np.ndarray, start_bit: int, n_blocks: int,
-                       use_rle: bool, block_size: int = BLOCK_SIZE):
+                       use_rle: bool, block_size: int = BLOCK_SIZE,
+                       packed: bytes | None = None):
     """Sequential offset-recovery over variable-length block records.
 
     Returns (payload_offsets [N], data_bits [N], n_payload [N], end_bit).
@@ -121,7 +122,8 @@ def walk_block_offsets(bits: np.ndarray, start_bit: int, n_blocks: int,
     try:
         from ..runtime.native import walk_offsets_native
 
-        return walk_offsets_native(bits, start_bit, n_blocks, use_rle, block_size)
+        return walk_offsets_native(bits, start_bit, n_blocks, use_rle,
+                                   block_size, packed=packed)
     except Exception:
         pass
 
@@ -157,7 +159,7 @@ def walk_block_offsets(bits: np.ndarray, start_bit: int, n_blocks: int,
 def decode_blocks(bits: np.ndarray, start_bit: int, n_blocks: int,
                   quant: QuantMatrix, use_rle: bool, norm: str = "reference",
                   backend: str = "numpy", block_size: int = BLOCK_SIZE,
-                  residual: bool = False):
+                  residual: bool = False, packed: bytes | None = None):
     """Parse + inverse-transform all blocks. Returns ([N,B,B] u8, end_bit).
 
     With residual=True, returns the raw float IDCT output (the reference's
@@ -166,13 +168,16 @@ def decode_blocks(bits: np.ndarray, start_bit: int, n_blocks: int,
     it onto the motion prediction before clamping.
     """
     k = block_size * block_size
+    if packed is None:
+        packed = np.packbits(bits).tobytes()  # share across walk + extract
     offs, dbits, counts, end = walk_block_offsets(bits, start_bit, n_blocks,
-                                                  use_rle, block_size)
+                                                  use_rle, block_size,
+                                                  packed=packed)
     try:
         from ..runtime.native import extract_coeffs_native
 
         coeffs = extract_coeffs_native(
-            np.packbits(bits).tobytes(), offs, dbits, counts,
+            packed, offs, dbits, counts,
             zigzag_order(block_size), block_size)  # int16 row-major
         coeffs = coeffs.reshape(n_blocks, block_size, block_size)
     except Exception:

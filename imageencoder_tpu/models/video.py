@@ -253,12 +253,14 @@ def decode_video(data: bytes, motioncomp: bool = True,
     out = []
     ref: np.ndarray | None = None
     pos = reader.position
+    packed = np.packbits(reader.bits).tobytes()  # shared by per-frame parsing
     Logger.progress(0, params.frame_count)
     for f in range(params.frame_count):
         Logger.progress(f + 1, params.frame_count)
         if f % max(1, params.gop) == 0:
             blocks, pos = decode_blocks(reader.bits, pos, n_micro, quant,
-                                        use_rle, norm=norm, backend=backend)
+                                        use_rle, norm=norm, backend=backend,
+                                        packed=packed)
             frame = deblockify(blocks, height, width)
         else:
             # Fixed-width mvec records -> one vectorized extraction.
@@ -270,7 +272,7 @@ def decode_video(data: bytes, motioncomp: bool = True,
             pred = predict_image(ref, mv, height, width)
             blocks, pos = decode_blocks(reader.bits, pos, n_micro, quant,
                                         use_rle, norm=norm, backend=backend,
-                                        residual=True)
+                                        residual=True, packed=packed)
             if motioncomp:
                 expanded = deblockify(blocks, height, width)
                 frame = clamp_to_u8(pred.astype(np.float64) + expanded)

@@ -65,12 +65,14 @@ def _load():
 
 
 def walk_offsets_native(bits: np.ndarray, start_bit: int, n_blocks: int,
-                        use_rle: bool, block_size: int):
+                        use_rle: bool, block_size: int,
+                        packed: bytes | None = None):
     """Native decode offset-recovery walk over packed BYTES (not the bit array)."""
     lib = _load()
     if lib is None:
         raise ImportError("native runtime not built")
-    data = np.packbits(bits)
+    data = (np.frombuffer(packed, dtype=np.uint8) if packed is not None
+            else np.packbits(bits))
     offs = np.empty(n_blocks, dtype=np.int64)
     dbits = np.empty(n_blocks, dtype=np.int32)
     counts = np.empty(n_blocks, dtype=np.int32)
