@@ -145,6 +145,16 @@ def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
     write_image_header(writer, quant, use_rle, width, height)
     write_video_params(writer, VideoParams(n_frames, gop, merange))
 
+    if n_frames == 0:
+        # Input shorter than one frame: header-only stream, like the
+        # reference (frame_count = filesize / frame_size, VideoBase.cpp:39).
+        inner = writer.getvalue()
+        if use_huffman:
+            from ..ops.huffman import huffman_encode
+
+            return huffman_encode(inner)
+        return inner
+
     if backend == "jax":
         # Whole video in one device computation (ops/video_pipeline.py):
         # raw-reference mode has no frame-to-frame carry, so motion search,

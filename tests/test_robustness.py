@@ -97,3 +97,12 @@ def test_empty_stream_raises_typed_error():
         decode_image(b"")
     with pytest.raises(StreamFormatError):
         decode_video(b"")
+
+
+def test_zero_frame_video(quant):
+    for backend in ("numpy", "jax"):
+        enc = encode_video(b"\x80" * 100, 64, 64, quant, True, 4, 16,
+                           use_huffman=False, backend=backend)
+        dec, params, (w, h) = decode_video(enc)
+        assert params.frame_count == 0
+        assert dec == b""
