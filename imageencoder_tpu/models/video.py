@@ -27,9 +27,12 @@ Reference-parity reconstruction quirks replicated deliberately:
     (ImageBase.cpp:253-254).
 
 TPU-native formulation: each frame's blocks are one batched transform; the
-motion search is a fixed-depth batched gather+reduction (ops/motion.py); the
-serial part is only the frame-to-frame reconstruction carry inside a GOP.
-GOPs are fully independent (each starts with an I-frame) — the multi-chip
+motion search runs gather-free over translation SAD maps
+(ops/video_pipeline.sad_motion_search; host fallback in ops/motion.py); in
+raw-reference mode the whole video encodes in one fused device computation
+(GOP-chunked with bit-splicing beyond 32 frames), in recon mode the
+frame-to-frame reconstruction carry is a lax.scan.  GOPs are fully
+independent (each starts with an I-frame) — the multi-chip / multi-host
 axis (parallel/).
 """
 

@@ -102,11 +102,6 @@ def make_sharded_video_step(mesh, gop: int, merange: int, mvec_nbits: int,
         bx = jnp.broadcast_to(bx, (f_loc, n_mb))
         r = jnp.arange(MACRO)
 
-        def cur_windows(py_l, px):
-            return frames[jnp.arange(f_loc)[:, None, None, None],
-                          py_l[:, :, None, None] + r[None, None, :, None],
-                          px[:, :, None, None] + r[None, None, None, :]]
-
         def ref_windows(py_g, px):
             # global row -> ref_h local row
             py_l = py_g - row0 + halo
@@ -114,30 +109,59 @@ def make_sharded_video_step(mesh, gop: int, merange: int, mvec_nbits: int,
                          py_l[:, :, None, None] + r[None, None, :, None],
                          px[:, :, None, None] + r[None, None, None, :]]
 
-        by_local = jnp.broadcast_to(jnp.asarray(by_l)[None, :], (f_loc, n_mb))
-        cur_blocks = cur_windows(by_local, bx).astype(jnp.int32)
-
+        # Gather-free SAD-map search (see ops/video_pipeline.sad_motion_search):
+        # the halo provides exactly the +-(m-1) reference rows the stripe's
+        # translation maps need, so the per-stripe formulation is identical
+        # to the single-device one with ref_h in place of a padded ref.
         off = jnp.zeros((f_loc, n_mb, 2), dtype=jnp.int32)
-        best = jnp.full((f_loc, n_mb), jnp.iinfo(jnp.int32).max, jnp.int32)
-        for step in search_steps(m):
-            running = best
-            sel = off
-            for p in range(len(MER_SIGNS)):
-                sx, sy = int(MER_SIGNS[p, 0]), int(MER_SIGNS[p, 1])
-                cand = off + jnp.array([sx * step, sy * step], jnp.int32)
-                px = jnp.clip(bx + cand[:, :, 0], 0, w - MACRO)
-                py = jnp.clip(by + cand[:, :, 1], 0, h_glob - MACRO)
-                win = ref_windows(py, px).astype(jnp.int32)
-                diff = jnp.abs(cur_blocks - win).sum(axis=(2, 3))
-                if p > 0:
-                    skip = (px == bx) & (py == by)
-                else:
-                    skip = jnp.zeros((f_loc, n_mb), bool)
-                acc = (~skip) & (diff <= running)
-                running = jnp.where(acc, diff, running)
-                sel = jnp.where(acc[:, :, None], cand, sel)
-            off = sel
-            best = running
+        if m >= 2:
+            p_h = m - 1
+            cur_i = frames.astype(jnp.int32)
+            ref_pad = jnp.pad(ref_h.astype(jnp.int32),
+                              ((0, 0), (0, 0), (p_h, p_h)))
+
+            def pool(x):  # [f_loc, h_loc, w] -> [f_loc, nby, nbx]
+                x = x.reshape(f_loc, nby, MACRO, w).sum(axis=2)
+                return x.reshape(f_loc, nby, nbx, MACRO).sum(axis=3)
+
+            def sad_at(carry, od):
+                dy, dx = od[0], od[1]
+                shifted = jax.lax.dynamic_slice(
+                    ref_pad, (0, halo + dy, p_h + dx), (f_loc, h_loc, w))
+                return carry, pool(jnp.abs(cur_i - shifted))
+
+            d_span = 2 * p_h + 1
+            offsets = jnp.stack(
+                jnp.meshgrid(jnp.arange(-p_h, p_h + 1),
+                             jnp.arange(-p_h, p_h + 1), indexing="ij"),
+                axis=-1).reshape(-1, 2)
+            _, s_maps = jax.lax.scan(sad_at, 0, offsets)
+            s = s_maps.reshape(d_span, d_span, f_loc, n_mb)
+
+            fidx = jnp.arange(f_loc, dtype=jnp.int32)[:, None]
+            bidx = jnp.arange(n_mb, dtype=jnp.int32)[None, :]
+
+            def lookup(cand):
+                dx_eff = jnp.clip(bx + cand[:, :, 0], 0, w - MACRO) - bx
+                dy_eff = jnp.clip(by + cand[:, :, 1], 0, h_glob - MACRO) - by
+                sad = s[dy_eff + p_h, dx_eff + p_h, fidx, bidx]
+                return sad, (dx_eff == 0) & (dy_eff == 0)
+
+            best = jnp.full((f_loc, n_mb), jnp.iinfo(jnp.int32).max,
+                            jnp.int32)
+            for step in search_steps(m):
+                running = best
+                sel = off
+                for p in range(len(MER_SIGNS)):
+                    sx, sy = int(MER_SIGNS[p, 0]), int(MER_SIGNS[p, 1])
+                    cand = off + jnp.array([sx * step, sy * step], jnp.int32)
+                    diff, at_self = lookup(cand)
+                    skip = at_self if p > 0 else jnp.zeros_like(at_self)
+                    acc = (~skip) & (diff <= running)
+                    running = jnp.where(acc, diff, running)
+                    sel = jnp.where(acc[:, :, None], cand, sel)
+                off = sel
+                best = running
 
         px = jnp.clip(bx + off[:, :, 0], 0, w - MACRO)
         py = jnp.clip(by + off[:, :, 1], 0, h_glob - MACRO)
