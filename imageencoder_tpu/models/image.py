@@ -99,9 +99,11 @@ def encode_image(img: np.ndarray, quant: QuantMatrix, use_rle: bool = True,
     else:
         vals, nbits = encode_blocks(blockify(img, block_size), quant, use_rle,
                                     norm=norm, backend=backend)
-        writer.extend_fields(vals, nbits)
-        inner, _ = bitpack.pack_fields(np.array(writer.values, dtype=np.int64),
-                                       np.array(writer.nbits, dtype=np.int64))
+        inner, _ = bitpack.pack_fields(
+            np.concatenate([np.asarray(writer.values, dtype=np.int64),
+                            np.asarray(vals, dtype=np.int64).ravel()]),
+            np.concatenate([np.asarray(writer.nbits, dtype=np.int64),
+                            np.asarray(nbits, dtype=np.int64).ravel()]))
 
     if use_huffman:
         from ..ops.huffman import huffman_encode

@@ -207,13 +207,14 @@ def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
         return inner
 
     ref: np.ndarray | None = None  # previous frame (raw, or recon P)
+    field_vals = [np.asarray(writer.values, dtype=np.int64)]
+    field_nbits = [np.asarray(writer.nbits, dtype=np.int64)]
     Logger.progress(0, n_frames)
     for f in range(n_frames):
         Logger.progress(f + 1, n_frames)
         cur = frames[f]
         if f % gop == 0:
             vals, nbits = _frame_fields(cur, quant, use_rle, norm, backend)
-            writer.extend_fields(vals.ravel(), nbits.ravel())
             ref = cur  # never reconstructed (Frame.cpp:130-159) — raw
         else:
             mvec, _ = find_motion(cur, ref, merange)
@@ -226,12 +227,14 @@ def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
             mv = np.empty(mvec.shape[0] * 2, dtype=np.int64)
             mv[0::2] = mvec[:, 0] & mask
             mv[1::2] = mvec[:, 1] & mask
-            writer.extend_fields(mv, np.full(mv.shape[0], mb, dtype=np.int64))
-            writer.extend_fields(vals.ravel(), nbits.ravel())
+            field_vals.append(mv)
+            field_nbits.append(np.full(mv.shape[0], mb, dtype=np.int64))
             ref = cur if ref_mode == "raw" else recon
+        field_vals.append(np.asarray(vals, dtype=np.int64).ravel())
+        field_nbits.append(np.asarray(nbits, dtype=np.int64).ravel())
 
-    inner, _ = bitpack.pack_fields(np.array(writer.values, dtype=np.int64),
-                                   np.array(writer.nbits, dtype=np.int64))
+    inner, _ = bitpack.pack_fields(np.concatenate(field_vals),
+                                   np.concatenate(field_nbits))
     if use_huffman:
         from ..ops.huffman import huffman_encode
 

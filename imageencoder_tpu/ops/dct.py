@@ -135,6 +135,12 @@ def dct2_exact(blocks: np.ndarray, norm: str = "reference") -> np.ndarray:
     n = blocks.shape[-1]
     w, scale = _fwd_weights(n, norm)
     flat = np.ascontiguousarray(blocks, dtype=np.float64).reshape(-1, n * n)
+    try:  # OpenMP C++ with the identical multiply/add order
+        from ..runtime.native import dct_exact_native
+
+        return dct_exact_native(flat, w, scale).reshape(blocks.shape)
+    except Exception:
+        pass
     acc = np.zeros_like(flat)
     tmp = np.empty_like(flat)  # preallocated: the 16-step loop is alloc-bound
     for k in range(n * n):
@@ -149,6 +155,12 @@ def idct2_exact(coeffs: np.ndarray, norm: str = "reference") -> np.ndarray:
     n = coeffs.shape[-1]
     w = _inv_weights(n, norm)
     flat = np.ascontiguousarray(coeffs, dtype=np.float64).reshape(-1, n * n)
+    try:
+        from ..runtime.native import dct_exact_native
+
+        return dct_exact_native(flat, w, None).reshape(coeffs.shape)
+    except Exception:
+        pass
     acc = np.zeros_like(flat)
     tmp = np.empty_like(flat)
     for k in range(n * n):

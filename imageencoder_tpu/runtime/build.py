@@ -13,8 +13,10 @@ def build(verbose: bool = False) -> pathlib.Path:
     out = HERE / "libier_runtime.so"
     if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
         return out
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-           str(src), "-o", str(out)]
+    # -ffp-contract=off: dct_exact must round after every multiply exactly
+    # like the reference binary / numpy path (no FMA contraction).
+    cmd = ["g++", "-O3", "-std=c++17", "-fopenmp", "-ffp-contract=off",
+           "-shared", "-fPIC", str(src), "-o", str(out)]
     subprocess.run(cmd, check=True, capture_output=not verbose)
     return out
 

@@ -53,6 +53,11 @@ def _load():
     lib.pack_fields.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_longlong, ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong]
+    lib.dct_exact.restype = ctypes.c_longlong
+    lib.dct_exact.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_longlong, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double)]
     lib.extract_coeffs.restype = ctypes.c_longlong
     lib.extract_coeffs.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
@@ -158,6 +163,33 @@ def extract_coeffs_native(data: bytes, offsets, dbits, counts,
     if rc < 0:
         raise ValueError("native extract_coeffs failed")
     return out.reshape(n, k)
+
+
+def dct_exact_native(blocks: np.ndarray, w: np.ndarray,
+                     scale: np.ndarray | None) -> np.ndarray:
+    """Bit-exact reference-order DCT accumulation (OpenMP over blocks).
+
+    blocks: f64 [N, k]; w: f64 [k, k]; scale: f64 [k] or None.
+    Returns f64 [N, k]; identical bits to the numpy 16-step loop.
+    """
+    lib = _load()
+    if lib is None:
+        raise ImportError("native runtime not built")
+    blocks = np.ascontiguousarray(blocks, dtype=np.float64)
+    w = np.ascontiguousarray(w, dtype=np.float64)
+    n, k = blocks.shape
+    out = np.empty_like(blocks)
+    scale_p = None
+    if scale is not None:
+        scale = np.ascontiguousarray(scale, dtype=np.float64)
+        scale_p = scale.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    rc = lib.dct_exact(
+        blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n, k,
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), scale_p,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if rc < 0:
+        raise ValueError("native dct_exact failed")
+    return out
 
 
 def available() -> bool:

@@ -11,11 +11,20 @@
 //                          BitStream.cpp:61-77), used as the host fast path
 //                          when the vectorized numpy packer is not preferred.
 //
-// Build: g++ -O3 -std=c++17 -shared -fPIC runtime.cpp -o libier_runtime.so
+// Build: g++ -O3 -std=c++17 -fopenmp -shared -fPIC runtime.cpp -o libier_runtime.so
+//
+// Parallelism mirrors the reference's OpenMP strategy (SURVEY §2 #22):
+// data-parallel loops over blocks where record boundaries are precomputed;
+// the offset walk and Huffman FSM stay serial (they ARE the wire format's
+// dependency chain).
 
 #include <cstdint>
 #include <cstring>
 #include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 namespace {
 
@@ -111,6 +120,34 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
     return n_out;
 }
 
+// Bit-exact replica of the reference's naive 2-D DCT accumulation
+// (algo.cpp:309-331 order) over flattened [n_blocks, k] f64 tiles:
+//   acc[uv] = (sum over cells in order) x[cell] * w[cell][uv], then * scale.
+// Must be compiled with -ffp-contract=off: an FMA would skip the
+// intermediate rounding the reference (and the numpy path) performs.
+// scale may be null (inverse transform bakes C into w).
+int64_t dct_exact(const double* blocks, int64_t n_blocks, int k,
+                  const double* w, const double* scale, double* out) {
+    #pragma omp parallel for schedule(static) if (n_blocks > 1024)
+    for (int64_t n = 0; n < n_blocks; n++) {
+        const double* x = blocks + n * k;
+        double* acc = out + n * k;
+        for (int uv = 0; uv < k; uv++) acc[uv] = 0.0;
+        for (int c = 0; c < k; c++) {
+            const double xv = x[c];
+            const double* wr = w + c * k;
+            for (int uv = 0; uv < k; uv++) {
+                const double t = xv * wr[uv];
+                acc[uv] += t;
+            }
+        }
+        if (scale) {
+            for (int uv = 0; uv < k; uv++) acc[uv] *= scale[uv];
+        }
+    }
+    return 0;
+}
+
 // Coefficient extraction: for each block, read `counts[i]` fields of
 // `bits[i]` bits starting at offsets[i], sign-extend, and store at the
 // row-major position given by the zig-zag LUT (zz[j] = row-major index of
@@ -122,6 +159,8 @@ int64_t extract_coeffs(const uint8_t* data, int64_t nbytes,
                        const int32_t* zz, int block_size, int16_t* out) {
     const int k = block_size * block_size;
     const int64_t nbits_total = nbytes * 8;
+    // Offsets are precomputed, so blocks extract independently.
+    #pragma omp parallel for schedule(static) if (n_blocks > 4096)
     for (int64_t n = 0; n < n_blocks; n++) {
         const int b = bits[n];
         const int cnt = counts[n] < k ? counts[n] : k;
@@ -153,8 +192,50 @@ int64_t extract_coeffs(const uint8_t* data, int64_t nbytes,
 
 // MSB-first packer: each field's low nbits[i] bits of values[i], concatenated.
 // out must be zeroed by the caller. Returns 0, or -1 if out_cap is too small.
+//
+// Two-phase parallel formulation (the C++ mirror of ops/device_pack.py):
+// a serial prefix sum fixes every field's absolute bit offset, then fields
+// write their bits independently; bytes shared between neighbouring fields
+// are combined with atomic OR, bytes wholly inside one field are plain
+// stores.  Falls back to the serial accumulator for small inputs.
 int64_t pack_fields(const int64_t* values, const int32_t* nbits, int64_t m,
                     uint8_t* out, int64_t out_cap) {
+#ifdef _OPENMP
+    if (m > 65536) {
+        std::vector<int64_t> offs((size_t)m);
+        int64_t pos = 0;
+        for (int64_t i = 0; i < m; i++) {
+            offs[(size_t)i] = pos;
+            pos += nbits[i];
+        }
+        if ((pos + 7) / 8 > out_cap) return -1;
+
+        #pragma omp parallel for schedule(static)
+        for (int64_t i = 0; i < m; i++) {
+            int b = nbits[i];
+            if (b == 0) continue;
+            const uint64_t v = (uint64_t)values[i]
+                & ((b >= 64) ? ~0ull : ((1ull << b) - 1));
+            int64_t p = offs[(size_t)i];
+            while (b > 0) {
+                const int64_t byte = p >> 3;
+                const int bo = (int)(p & 7);
+                const int take = (8 - bo) < b ? (8 - bo) : b;
+                const uint8_t bitsv =
+                    (uint8_t)((v >> (b - take)) & ((1u << take) - 1u));
+                const uint8_t byte_val = (uint8_t)(bitsv << (8 - bo - take));
+                if (take == 8) {
+                    out[byte] = byte_val;  // byte exclusively owned
+                } else {
+                    __atomic_fetch_or(&out[byte], byte_val, __ATOMIC_RELAXED);
+                }
+                p += take;
+                b -= take;
+            }
+        }
+        return 0;
+    }
+#endif
     uint64_t acc = 0;  // bit accumulator, MSB-aligned fill
     int na = 0;        // bits in accumulator
     int64_t byte_pos = 0;

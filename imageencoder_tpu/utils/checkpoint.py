@@ -44,12 +44,12 @@ def _encode_gop_payload(frames, quant, use_rle, merange, norm, backend,
 
     h, w = frames[0].shape
     mb = mvec_bits(merange)
-    writer = BitWriter()
+    field_vals: list[np.ndarray] = []
+    field_nbits: list[np.ndarray] = []
     ref = None
     for i, cur in enumerate(frames):
         if i == 0 and first_is_i:
             vals, nbits = _frame_fields(cur, quant, use_rle, norm, backend)
-            writer.extend_fields(vals.ravel(), nbits.ravel())
             ref = cur
         else:
             mvec, _ = find_motion(cur, ref, merange)
@@ -61,12 +61,14 @@ def _encode_gop_payload(frames, quant, use_rle, merange, norm, backend,
             mv = np.empty(mvec.shape[0] * 2, dtype=np.int64)
             mv[0::2] = mvec[:, 0] & mask
             mv[1::2] = mvec[:, 1] & mask
-            writer.extend_fields(mv, np.full(mv.shape[0], mb, dtype=np.int64))
-            writer.extend_fields(vals.ravel(), nbits.ravel())
+            field_vals.append(mv)
+            field_nbits.append(np.full(mv.shape[0], mb, dtype=np.int64))
             ref = cur if ref_mode == "raw" else recon
-    data, nbits_total = bitpack.pack_fields(
-        np.array(writer.values, dtype=np.int64),
-        np.array(writer.nbits, dtype=np.int64))
+        field_vals.append(np.asarray(vals, dtype=np.int64).ravel())
+        field_nbits.append(np.asarray(nbits, dtype=np.int64).ravel())
+    all_vals = np.concatenate(field_vals)
+    all_nbits = np.concatenate(field_nbits)
+    data, nbits_total = bitpack.pack_fields(all_vals, all_nbits)
     return data, nbits_total
 
 
