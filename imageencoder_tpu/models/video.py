@@ -137,6 +137,15 @@ def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
         format-compatible either way (the wire carries no reference state).
     """
     assert width % BLOCK_SIZE == 0 and height % BLOCK_SIZE == 0
+    if width % MACRO or height % MACRO:
+        # The reference only asserts %4 (VideoEncoder.cpp:13-14) but its
+        # P-frame path desyncs on non-%16 dims: MicroBlocks outside any
+        # MacroBlock never get an RLE sequence, so streamEncoded skips them
+        # while the decoder still reads them.  We reject such dims upfront.
+        raise ValueError(
+            f"video dimensions must be multiples of {MACRO} "
+            f"(got {width}x{height}); the reference silently produces "
+            f"undecodable streams for these")
     gop = max(1, gop)
     frames = split_yuv420(data, width, height)
     n_frames = len(frames)

@@ -106,3 +106,8 @@ def test_zero_frame_video(quant):
         dec, params, (w, h) = decode_video(enc)
         assert params.frame_count == 0
         assert dec == b""
+
+
+def test_video_dims_must_be_macroblock_multiples(quant):
+    with pytest.raises(ValueError):
+        encode_video(b"\x00" * (20 * 32 * 3 // 2), 20, 32, quant, True, 4, 16)
