@@ -137,3 +137,21 @@ def test_fixture_cross_parity(ref, quant, name):
         "our stream decoded differently -> coefficient mismatch"
     assert np.array_equal(decode_image(our_enc), ref_px)
     assert np.array_equal(decode_image(ref_enc), ref_px)
+
+
+BASELINE_PSNR = {  # measured with the shipped binaries (BASELINE.md)
+    "ex0": 24.02, "ex1": 35.94, "ex2": 44.10, "ex3": 42.34,
+    "ex4": 39.62, "ex6": 43.69,
+}
+
+
+@pytest.mark.parametrize("name", sorted(BASELINE_PSNR))
+def test_fixture_psnr_matches_baseline_table(quant, name):
+    """Full round trip reproduces the measured reference PSNR to 0.01 dB
+    (bit-parity makes them identical; the tolerance covers table rounding)."""
+    from imageencoder_tpu.utils.metrics import psnr
+
+    img = fixture_image(name)
+    enc = encode_image(img, quant, True, use_huffman=True)
+    dec = decode_image(enc)
+    assert abs(psnr(img, dec) - BASELINE_PSNR[name]) < 0.01, name
