@@ -27,14 +27,14 @@ pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
 GOP, MERANGE = 4, 16
 
 
-def expected_frame_fields(cur, ref, is_i, quant):
+def expected_frame_fields(cur, ref, is_i, quant, merange=MERANGE):
     """Unsharded oracle: same f32 ops as the device pipeline."""
     h, w = cur.shape
     if is_i:
         x = cur.astype(np.float32)
         mv = np.zeros(((h // 16) * (w // 16), 2), np.int32)
     else:
-        mv, _ = find_motion(cur, ref, MERANGE)
+        mv, _ = find_motion(cur, ref, merange)
         pred = predict_image(ref, mv, h, w)
         x = cur.astype(np.float32) - pred.astype(np.float32)
     d = jnp.asarray(np.asarray(dct_matrix(4, "reference"), np.float32))
@@ -97,5 +97,25 @@ def test_sharded_video_step_large_motion():
 
     mv, vals, nbits = expected_frame_fields(f1, f0, False, quant)
     mask = (1 << mvec_bits(MERANGE)) - 1
+    np.testing.assert_array_equal(np.asarray(mvals)[1], mv & mask)
+    np.testing.assert_array_equal(np.asarray(bvals)[1], vals)
+
+
+def test_sharded_video_step_merange32():
+    """Wider search radius: halo = 31 rows, stripes of 64."""
+    rng = np.random.default_rng(8)
+    base = np.kron(rng.integers(0, 256, (32, 16)),
+                   np.ones((4, 4))).astype(np.uint8)  # 128x64
+    frames = np.stack([base, np.roll(base, 25, axis=0)])
+    quant = np.full((4, 4), 5.0, dtype=np.float32)
+    mesh = make_mesh(8, frame_axis=4)  # frames padded below to 4 chunks
+    frames4 = np.concatenate([frames, frames])  # 4 frames over 4 chunks
+    step = make_sharded_video_step(mesh, 4, 32, mvec_bits(32))
+    mvals, bvals, bnbits, base_o, hist = jax.block_until_ready(
+        step(jnp.asarray(frames4), jnp.asarray(quant)))
+
+    mv, vals, nbits = expected_frame_fields(frames4[1], frames4[0], False,
+                                            quant, merange=32)
+    mask = (1 << mvec_bits(32)) - 1
     np.testing.assert_array_equal(np.asarray(mvals)[1], mv & mask)
     np.testing.assert_array_equal(np.asarray(bvals)[1], vals)
