@@ -97,7 +97,9 @@ def _run(c, mode, args, use_huffman) -> int:
     if mode == "video-encode":
         quant = QuantMatrix.from_file(c.get("quantfile"))
         t0 = time.perf_counter()
-        if args.checkpoint_dir:
+        if args.mode == "decode":
+            pass  # decode-only run on an encoder-schema config
+        elif args.checkpoint_dir:
             from .utils.checkpoint import encode_video_checkpointed
 
             with open(c.get("rawfile"), "rb") as f:
@@ -122,7 +124,8 @@ def _run(c, mode, args, use_huffman) -> int:
                                ref_mode=args.ref_mode)
             enc.process()
             enc.save_result()
-        Logger.write(f"Elapsed time: {1e3 * (time.perf_counter() - t0):.3f} ms")
+        if args.mode != "decode":
+            Logger.write(f"Elapsed time: {1e3 * (time.perf_counter() - t0):.3f} ms")
         if "decfile" in c.values and args.mode in ("decode", "both"):
             dec = VideoDecoder(c.get("encfile"), c.get("decfile"),
                                motioncomp=bool(int(c.get("motioncompensation", "1"))),
@@ -132,6 +135,10 @@ def _run(c, mode, args, use_huffman) -> int:
         return 0
 
     # video-decode
+    if args.mode == "encode":
+        print("config is a video-decode job; nothing to encode",
+              file=sys.stderr)
+        return 3
     t0 = time.perf_counter()
     dec = VideoDecoder(c.get("encfile"), c.get("decfile"),
                        motioncomp=bool(int(c.get("motioncompensation"))),

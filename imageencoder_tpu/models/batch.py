@@ -21,7 +21,7 @@ from functools import lru_cache
 import numpy as np
 
 from ..ops.bitpack import BitWriter
-from ..ops.device_pack import LOCAL_WORDS, pack_blocks_device
+from ..ops.device_pack import pack_blocks_device, packed_words_bound
 from ..ops.pipeline import fields_from_coeffs, transform_quantize
 from ..ops.dct import dct_matrix
 from ..utils.quant import QuantMatrix
@@ -64,7 +64,7 @@ def _make_batch_encode(block_size: int, use_rle: bool, norm: str):
 
         flat_vals = vals.reshape(bsz * n, k + 2)
         flat_nbits = nbits.reshape(bsz * n, k + 2)
-        n_words = int(bsz) * (n * 9 + 64)
+        n_words = int(bsz) * packed_words_bound(n, k + 2)
         words, _ = pack_blocks_device(flat_vals, flat_nbits, jnp.int32(0),
                                       n_words, starts=starts)
         return words, seg_word_start, seg_bits

@@ -200,7 +200,6 @@ def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
         chunk = max(gop, (32 // gop) * gop)
         zeros_hdr = jnp.zeros(HEADER_WORDS, jnp.uint32)
         segments = [(writer.getvalue(), writer.position)]
-        fn = None
         for s in range(0, n_frames, chunk):
             part = frames[s:s + chunk]
             fnc = factory(gop, merange, mb, BLOCK_SIZE, use_rle, norm,

@@ -7,14 +7,14 @@ splits it in two levels, both data-parallel:
   level 1 (intra-block): each block owns F fields whose widths are known
     (vals/nbits from ops/pipeline.py).  An exclusive per-block cumsum gives
     each field's local bit offset; every field's value is deposited into the
-    block's private 9-word uint32 register file with shifts + one-hot
-    selects (a block is at most 4 + 17*16 = 276 bits wide for B=4).
+    block's private uint32 register file (ceil(F*16/32) words — fields are
+    at most 16 bits) with shifts + one-hot selects.
 
   level 2 (global): an exclusive cumsum of block bit-lengths gives every
-    block's absolute start offset.  Each block's 9 local words are funnel-
-    shifted by (start & 31) into 10 words and scatter-added at (start >> 5).
-    Neighbouring blocks share at most a boundary word with disjoint bits, so
-    add == or and the scatter needs no ordering.
+    block's absolute start offset.  Each block's local words are funnel-
+    shifted by (start & 31) into one extra word and scatter-added at
+    (start >> 5).  Neighbouring blocks share at most a boundary word with
+    disjoint bits, so add == or and the scatter needs no ordering.
 
 Everything is int32/uint32 lane arithmetic — exact on TPU — and the only
 host transfer is the packed words themselves (the whole point: the fields
@@ -28,8 +28,18 @@ from __future__ import annotations
 
 import numpy as np
 
-LOCAL_WORDS = 9  # 288 bits >= 4 + 17 * 16 for 4x4 blocks
+MAX_FIELD_BITS = 16  # coefficients, counts, mvecs, Huffman codes all fit
 HEADER_WORDS = 64  # host header prefix capacity (2048 bits)
+
+
+def local_words(n_fields: int) -> int:
+    """Register-file words per record: worst case every field at 16 bits."""
+    return (n_fields * MAX_FIELD_BITS + 31) // 32
+
+
+def packed_words_bound(n_records: int, n_fields: int) -> int:
+    """Static output allocation covering any record content plus header."""
+    return n_records * local_words(n_fields) + HEADER_WORDS
 
 
 def header_to_words(header: bytes) -> np.ndarray:
@@ -60,14 +70,16 @@ def pack_blocks_device(vals, nbits, start_bit, n_words: int, starts=None):
     nb = nbits.astype(jnp.int32)
     u32 = jnp.uint32
 
-    # Level 1: local offsets and the 9-word register file per block.
+    lw = local_words(f)
+
+    # Level 1: local offsets and the per-block register file.
     local_off = jnp.cumsum(nb, axis=1) - nb  # [N, F] exclusive
     block_bits = jnp.sum(nb, axis=1)  # [N]
 
     mask = ((jnp.uint32(1) << nb.astype(u32)) - jnp.uint32(1))
     v = vals.astype(u32) & jnp.where(nb > 0, mask, jnp.uint32(0))
 
-    wi = (local_off >> 5).astype(jnp.int32)  # word index, 0..8
+    wi = (local_off >> 5).astype(jnp.int32)  # word index, 0..lw-1
     bo = (local_off & 31).astype(jnp.int32)  # bit offset in word
     avail = 32 - bo
     fits = nb <= avail
@@ -83,8 +95,8 @@ def pack_blocks_device(vals, nbits, start_bit, n_words: int, starts=None):
     part2 = jnp.where(spill > 0, part2, jnp.uint32(0))
     part1 = jnp.where(nb > 0, part1, jnp.uint32(0))
 
-    # One-hot accumulate into [N, LOCAL_WORDS].
-    lanes = jnp.arange(LOCAL_WORDS, dtype=jnp.int32)[None, None, :]
+    # One-hot accumulate into [N, lw].
+    lanes = jnp.arange(lw, dtype=jnp.int32)[None, None, :]
     sel1 = (lanes == wi[:, :, None])
     sel2 = (lanes == (wi + 1)[:, :, None])
     local = (jnp.sum(jnp.where(sel1, part1[:, :, None], jnp.uint32(0)),
@@ -107,9 +119,9 @@ def pack_blocks_device(vals, nbits, start_bit, n_words: int, starts=None):
     prev_ext = jnp.concatenate([jnp.zeros((n, 1), u32), local], axis=1)
     lo = jnp.where(s > 0, prev_ext << ((32 - s) % 32).astype(u32), jnp.uint32(0))
     hi = jnp.where(s > 0, ext >> s, ext)
-    shifted = lo | hi  # [N, LOCAL_WORDS+1]
+    shifted = lo | hi  # [N, lw+1]
 
-    idx = base[:, None] + jnp.arange(LOCAL_WORDS + 1, dtype=jnp.int32)[None, :]
+    idx = base[:, None] + jnp.arange(lw + 1, dtype=jnp.int32)[None, :]
     words = jnp.zeros((n_words,), u32).at[idx.reshape(-1)].add(
         shifted.reshape(-1), mode="drop")
     return words, total_bits

@@ -31,20 +31,6 @@ from .dct import dct_matrix
 from .zigzag import zigzag_order
 
 
-def _bit_length(xp, x, maxbits: int = 16):
-    """bit_length(x) for 0 <= x < 2**maxbits as integer compares (exact on TPU)."""
-    total = xp.zeros(x.shape, dtype=xp.int32)
-    for k in range(maxbits):
-        total = total + (x >= (1 << k)).astype(xp.int32)
-    return total
-
-
-def _bits_needed(xp, v):
-    """Minimal signed two's-complement width >= 1 (reference utils.hpp:226-243)."""
-    mag = xp.where(v >= 0, v, -v - 1)
-    return _bit_length(xp, mag) + 1
-
-
 def _round_half_away(xp, x):
     """std::round parity (Block.cpp:152): trunc-based, no double rounding."""
     t = xp.trunc(x)
@@ -89,49 +75,15 @@ def transform_quantize(img, quant, dct_m, block_size: int):
 def fields_from_coeffs(coeffs_zz, use_rle: bool):
     """[N,K] int32 zig-zag coefficients -> (vals int32 [N,K+2], nbits int32).
 
-    Batched re-derivation of Block::createRLESequence + streamEncoded
-    (Block.cpp:186-232, 372-413); see ops/rle.py for the format notes.
-    Slot 0 is the 4-bit width header, slot 1 the RLE count (nbits 0 when
-    !use_rle), slots 2.. the live payload coefficients.
+    Thin jit-compatible wrapper over the single source of truth for the
+    wire-format statistics and field layout (ops/rle.py: block_stats +
+    block_fields — Block::createRLESequence/streamEncoded parity incl. the
+    full-block trailing-strip corner, Block.cpp:186-232, 372-413).
     """
-    import jax.numpy as jnp
+    from . import rle
 
-    n, k = coeffs_zz.shape
-    nz = coeffs_zz != 0
-
-    rev_arg = jnp.argmax(nz[:, ::-1].astype(jnp.int32), axis=1)
-    any_nz = jnp.any(nz, axis=1)
-    length_full = jnp.where(any_nz, k - rev_arg, 0).astype(jnp.int32)
-
-    per_coeff_bits = jnp.where(nz, _bits_needed(jnp, coeffs_zz), 0)
-    max_bits = jnp.max(per_coeff_bits, axis=1).astype(jnp.int32)
-    data_bits = jnp.maximum(jnp.maximum(max_bits, _bit_length(jnp, length_full)), 1)
-
-    if use_rle:
-        nz_head = nz[:, : k - 1]
-        rev_arg_head = jnp.argmax(nz_head[:, ::-1].astype(jnp.int32), axis=1)
-        any_head = jnp.any(nz_head, axis=1)
-        length_head = jnp.where(any_head, (k - 1) - rev_arg_head, 0).astype(jnp.int32)
-        gap = (k - 1) - length_head
-        full = length_full == k
-        count = jnp.where(full & (gap > 0), length_head, length_full)
-        n_payload = count
-    else:
-        count = length_full
-        n_payload = jnp.full((n,), k, dtype=jnp.int32)
-
-    vals = jnp.zeros((n, k + 2), dtype=jnp.int32)
-    nbits = jnp.zeros((n, k + 2), dtype=jnp.int32)
-    vals = vals.at[:, 0].set(data_bits)
-    nbits = nbits.at[:, 0].set(4)
-    if use_rle:
-        vals = vals.at[:, 1].set(count)
-        nbits = nbits.at[:, 1].set(data_bits)
-    j = jnp.arange(k, dtype=jnp.int32)[None, :]
-    live = j < n_payload[:, None]
-    vals = vals.at[:, 2:].set(jnp.where(live, coeffs_zz, 0))
-    nbits = nbits.at[:, 2:].set(jnp.where(live, data_bits[:, None], 0))
-    return vals, nbits
+    stats = rle.block_stats(coeffs_zz, use_rle)
+    return rle.block_fields(coeffs_zz, stats, use_rle)
 
 
 @lru_cache(maxsize=None)
@@ -216,7 +168,8 @@ def make_encode_packed_hist(block_size: int = 4, use_rle: bool = True,
     """
     import jax
 
-    from .device_pack import HEADER_WORDS, pack_blocks_device
+    from .device_pack import (HEADER_WORDS, pack_blocks_device,
+                              packed_words_bound)
 
     base = make_encode_packed(block_size, use_rle, norm)
 
@@ -244,7 +197,8 @@ def make_encode_packed(block_size: int = 4, use_rle: bool = True,
     import jax
     import jax.numpy as jnp
 
-    from .device_pack import HEADER_WORDS, pack_blocks_device
+    from .device_pack import (HEADER_WORDS, pack_blocks_device,
+                              packed_words_bound)
 
     dct_m = np.asarray(dct_matrix(block_size, norm), dtype=np.float32)
 
@@ -254,7 +208,8 @@ def make_encode_packed(block_size: int = 4, use_rle: bool = True,
                                        block_size)
         vals, nbits = fields_from_coeffs(coeffs_zz, use_rle)
         n = vals.shape[0]
-        words, total = pack_blocks_device(vals, nbits, start_bit, n * 9 + 64)
+        words, total = pack_blocks_device(vals, nbits, start_bit,
+                                          packed_words_bound(n, vals.shape[1]))
         words = words.at[:HEADER_WORDS].set(words[:HEADER_WORDS]
                                             | header_words)
         return words, total

@@ -94,23 +94,26 @@ def block_fields(coeffs_zz, stats, use_rle: bool):
     data_bits = stats["data_bits"]
     n_payload = stats["n_payload"]
 
-    vals = xp.zeros((n, k + 2), dtype=xp.int64)
+    # int64 on the host packer path; int32 on device (jax x64 is disabled,
+    # and every field value fits 16 bits anyway).
+    val_dtype = xp.int64 if xp is np else xp.int32
+    vals = xp.zeros((n, k + 2), dtype=val_dtype)
     nbits = xp.zeros((n, k + 2), dtype=xp.int32)
 
     # Slot 0: the 4-bit width header.
-    vals = _set(xp, vals, (slice(None), 0), data_bits.astype(xp.int64))
+    vals = _set(xp, vals, (slice(None), 0), data_bits.astype(val_dtype))
     nbits = _set(xp, nbits, (slice(None), 0), xp.full((n,), 4, dtype=xp.int32))
 
     # Slot 1: the count field (RLE only).
     if use_rle:
-        vals = _set(xp, vals, (slice(None), 1), stats["count"].astype(xp.int64))
+        vals = _set(xp, vals, (slice(None), 1), stats["count"].astype(val_dtype))
         nbits = _set(xp, nbits, (slice(None), 1), data_bits)
 
     # Slots 2..: the first n_payload zig-zag coefficients, data_bits wide each.
     j = xp.arange(k, dtype=xp.int32)[None, :]
     live = j < n_payload[:, None]
     vals = _set(xp, vals, (slice(None), slice(2, None)),
-                xp.where(live, coeffs_zz.astype(xp.int64), 0))
+                xp.where(live, coeffs_zz.astype(val_dtype), 0))
     nbits = _set(xp, nbits, (slice(None), slice(2, None)),
                  xp.where(live, xp.broadcast_to(data_bits[:, None], (n, k)), 0))
     return vals, nbits

@@ -27,7 +27,8 @@ from functools import lru_cache
 
 import numpy as np
 
-from .device_pack import HEADER_WORDS, pack_blocks_device
+from .device_pack import (HEADER_WORDS, pack_blocks_device,
+                          packed_words_bound)
 from .dct import dct_matrix
 from .motion import MACRO, MER_SIGNS, macro_grid, search_steps
 from .pipeline import _round_half_away, fields_from_coeffs
@@ -287,7 +288,7 @@ def make_encode_video_packed_recon(gop: int, merange: int, mvec_nbits: int,
         nbits = jnp.concatenate([mnbits, bnbits], axis=1).reshape(-1, k + 2)
         n_rows = f * (n_macro + n_micro)
         words, total = pack_blocks_device(vals, nbits, start_bit,
-                                          n_rows * 9 + 64)
+                                          packed_words_bound(n_rows, k + 2))
         words = words.at[:HEADER_WORDS].set(words[:HEADER_WORDS]
                                             | header_words)
         if with_hist:
@@ -367,7 +368,7 @@ def make_encode_video_packed(gop: int, merange: int, mvec_nbits: int,
         nbits = jnp.concatenate([mnbits, bnbits], axis=1).reshape(-1, k + 2)
         n_rows = f * (n_macro + n_micro)
         words, total = pack_blocks_device(vals, nbits, start_bit,
-                                          n_rows * 9 + 64)
+                                          packed_words_bound(n_rows, k + 2))
         words = words.at[:HEADER_WORDS].set(words[:HEADER_WORDS]
                                             | header_words)
         if with_hist:
