@@ -26,10 +26,57 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..ops import bitpack
+from ..ops.bitpack import BitWriter
 from ..ops.dct import dct_matrix
 from ..ops.motion import MACRO, MER_SIGNS, search_steps
 from ..ops.pipeline import _round_half_away, fields_from_coeffs
 from ..ops.zigzag import zigzag_order
+
+
+def assemble_sharded_video(mvals, bnbits, bvals, width: int, height: int,
+                           quant, use_rle: bool, gop: int, merange: int,
+                           use_huffman: bool = True) -> bytes:
+    """Wire stream from make_sharded_video_step outputs (host side).
+
+    Height striping means the sharded tensors are already in global
+    row-major block order, so assembly is the standard field flattening:
+    header, then per frame [mvec fields (P only)][block fields].  Output is
+    byte-identical to models.video.encode_video(backend="jax").
+    """
+    from ..models.headers import (VideoParams, write_image_header,
+                                  write_video_params)
+    from ..models.video import mvec_bits
+
+    mvals = np.asarray(mvals)
+    bvals = np.asarray(bvals)
+    bnbits = np.asarray(bnbits)
+    f = bvals.shape[0]
+    mb = mvec_bits(merange)
+
+    writer = BitWriter()
+    if not use_huffman:
+        writer.put_bit(0)
+    write_image_header(writer, quant, use_rle, width, height)
+    write_video_params(writer, VideoParams(f, max(1, gop), merange))
+
+    field_vals = [np.asarray(writer.values, dtype=np.int64)]
+    field_nbits = [np.asarray(writer.nbits, dtype=np.int64)]
+    for fi in range(f):
+        if fi % max(1, gop) != 0:
+            mv = mvals[fi].astype(np.int64).reshape(-1)  # (x, y) interleaved
+            field_vals.append(mv)
+            field_nbits.append(np.full(mv.shape[0], mb, dtype=np.int64))
+        field_vals.append(bvals[fi].astype(np.int64).reshape(-1))
+        field_nbits.append(bnbits[fi].astype(np.int64).reshape(-1))
+
+    inner, _ = bitpack.pack_fields(np.concatenate(field_vals),
+                                   np.concatenate(field_nbits))
+    if use_huffman:
+        from ..ops.huffman import huffman_encode
+
+        return huffman_encode(inner)
+    return inner
 
 
 def make_sharded_video_step(mesh, gop: int, merange: int, mvec_nbits: int,

@@ -119,3 +119,29 @@ def test_sharded_video_step_merange32():
     mask = (1 << mvec_bits(32)) - 1
     np.testing.assert_array_equal(np.asarray(mvals)[1], mv & mask)
     np.testing.assert_array_equal(np.asarray(bvals)[1], vals)
+
+
+def test_sharded_step_assembles_to_identical_stream():
+    """Sharded-step outputs assemble to the exact single-device stream."""
+    from imageencoder_tpu.models.video import decode_video, encode_video
+    from imageencoder_tpu.parallel.video_sharding import assemble_sharded_video
+    from imageencoder_tpu.utils.quant import QuantMatrix
+
+    quant = QuantMatrix.from_file("/root/reference/bin/matrix.txt")
+    data, _ = make_video(w=64, h=128, n=4, seed=33, smooth=False)
+    frames = split_yuv420(data, 64, 128)
+
+    mesh = make_mesh(8, frame_axis=4)
+    step = make_sharded_video_step(mesh, GOP, MERANGE, mvec_bits(MERANGE))
+    mvals, bvals, bnbits, base, hist = jax.block_until_ready(
+        step(jnp.asarray(frames), jnp.asarray(quant.as_float(np.float32))))
+
+    for uh in (False, True):
+        assembled = assemble_sharded_video(mvals, bnbits, bvals, 64, 128,
+                                           quant, True, GOP, MERANGE,
+                                           use_huffman=uh)
+        single = encode_video(data, 64, 128, quant, True, GOP, MERANGE,
+                              use_huffman=uh, backend="jax")
+        assert assembled == single, uh
+    dec, params, _ = decode_video(assembled)
+    assert params.frame_count == 4
