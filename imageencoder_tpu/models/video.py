@@ -53,7 +53,8 @@ from ..utils.logger import Logger
 from ..utils.quant import QuantMatrix
 from .headers import (VideoParams, read_image_header, read_video_params,
                       write_image_header, write_video_params)
-from .image import BLOCK_SIZE, decode_blocks, encode_blocks
+from .image import (BLOCK_SIZE, decode_blocks, encode_blocks,
+                    walk_block_offsets)
 
 UV_FILL = 0x80  # dc::VIDEO_UV_FILL (Frame.hpp:12)
 
@@ -251,8 +252,15 @@ def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
 
 
 def decode_video(data: bytes, motioncomp: bool = True,
-                 norm: str = "reference", backend: str = "numpy"):
-    """Decode a video stream. Returns (yuv420 bytes, VideoParams, (w, h))."""
+                 norm: str = "reference", backend: str = "numpy",
+                 workers: int = 0):
+    """Decode a video stream. Returns (yuv420 bytes, VideoParams, (w, h)).
+
+    workers > 1 decodes GOPs in a thread pool: the stream walk is serial
+    (variable-length records), but GOPs are data-independent (every GOP
+    starts with an I-frame) and the heavy stages — native extraction and
+    the IDCT matmuls — release the GIL.  Output is identical to serial.
+    """
     if not data:
         from ..utils.exceptions import StreamFormatError
 
@@ -273,38 +281,69 @@ def decode_video(data: bytes, motioncomp: bool = True,
     n_macro = (width // MACRO) * (height // MACRO)
     y_size = width * height
     uv = np.full(y_size // 2, UV_FILL, dtype=np.uint8)
-
-    out = []
-    ref: np.ndarray | None = None
-    pos = reader.position
+    gop = max(1, params.gop)
     packed = np.packbits(reader.bits).tobytes()  # shared by per-frame parsing
-    Logger.progress(0, params.frame_count)
+
+    # Pass 1 (serial): recover every frame's record layout — the stream's
+    # one true dependency chain (SURVEY §3.2).
+    parsed = []  # per frame: (mv or None, blocks_walk)
+    pos = reader.position
     for f in range(params.frame_count):
-        Logger.progress(f + 1, params.frame_count)
-        if f % max(1, params.gop) == 0:
-            blocks, pos = decode_blocks(reader.bits, pos, n_micro, quant,
-                                        use_rle, norm=norm, backend=backend,
-                                        packed=packed)
-            frame = deblockify(blocks, height, width)
+        if f % gop == 0:
+            mv = None
         else:
-            # Fixed-width mvec records -> one vectorized extraction.
             offs = pos + np.arange(2 * n_macro, dtype=np.int64) * mb
             raw = bitpack.read_fields(reader.bits, offs,
                                       np.full(2 * n_macro, mb, dtype=np.int64))
             mv = shift_signed(raw, mb).reshape(n_macro, 2)
             pos = int(offs[-1] + mb)
-            pred = predict_image(ref, mv, height, width)
-            blocks, pos = decode_blocks(reader.bits, pos, n_micro, quant,
-                                        use_rle, norm=norm, backend=backend,
-                                        residual=True, packed=packed)
-            if motioncomp:
-                expanded = deblockify(blocks, height, width)
-                frame = clamp_to_u8(pred.astype(np.float64) + expanded)
-            else:
-                frame = pred
-        out.append(frame.reshape(-1))
-        out.append(uv)
-        ref = frame
+        start = pos
+        *_, pos = walk_block_offsets(reader.bits, pos, n_micro, use_rle,
+                                     packed=packed)
+        parsed.append((mv, start))
+
+    def decode_frame(f, ref):
+        mv, start = parsed[f]
+        if mv is None:
+            blocks, _ = decode_blocks(reader.bits, start, n_micro, quant,
+                                      use_rle, norm=norm, backend=backend,
+                                      packed=packed)
+            return deblockify(blocks, height, width)
+        pred = predict_image(ref, mv, height, width)
+        blocks, _ = decode_blocks(reader.bits, start, n_micro, quant,
+                                  use_rle, norm=norm, backend=backend,
+                                  residual=True, packed=packed)
+        if motioncomp:
+            expanded = deblockify(blocks, height, width)
+            return clamp_to_u8(pred.astype(np.float64) + expanded)
+        return pred
+
+    def decode_gop(g0):
+        frames_out = []
+        ref = None
+        for f in range(g0, min(g0 + gop, params.frame_count)):
+            ref = decode_frame(f, ref)
+            frames_out.append(ref)
+        return frames_out
+
+    gop_starts = list(range(0, params.frame_count, gop))
+    if workers > 1 and len(gop_starts) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            gop_frames = list(ex.map(decode_gop, gop_starts))
+    else:
+        gop_frames = []
+        Logger.progress(0, len(gop_starts))
+        for i, g0 in enumerate(gop_starts):
+            gop_frames.append(decode_gop(g0))
+            Logger.progress(i + 1, len(gop_starts))
+
+    out = []
+    for frames_out in gop_frames:
+        for frame in frames_out:
+            out.append(frame.reshape(-1))
+            out.append(uv)
     return b"".join(a.tobytes() for a in out), params, (width, height)
 
 

@@ -153,3 +153,14 @@ def test_merange_variants(quant, ref):
         ri, oi = inner_payload(renc), inner_payload(ours)
         n = min(len(ri), len(oi))
         assert ri[:n - 1] == oi[:n - 1], merange
+
+
+def test_threaded_gop_decode_identical(quant):
+    data, _ = make_video(n=10, seed=23, smooth=False)
+    enc = encode_video(data, 64, 64, quant, True, 3, 16, use_huffman=True)
+    serial = decode_video(enc)
+    threaded = decode_video(enc, workers=4)
+    assert serial == threaded
+    nomc_s = decode_video(enc, motioncomp=False)
+    nomc_t = decode_video(enc, motioncomp=False, workers=4)
+    assert nomc_s == nomc_t
