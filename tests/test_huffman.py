@@ -114,3 +114,29 @@ def test_device_huffman_fallback_matches_host():
     dev = huffman_encode_device(words, len(inner) * 8)
     host = huffman_encode(inner)
     assert dev == host
+
+
+def test_group_split_over_127_entries():
+    """More than 127 symbols at one code length forces the 7-bit group
+    header to split (MAX_GROUP, Huffman.cpp:40-42 silently corrupts there;
+    we split like the format intends). Construct: one dominant symbol plus
+    ~200 equally-rare ones -> most codes share a length."""
+    rng = np.random.default_rng(11)
+    data = bytearray(b"\x00" * 20000)
+    rare = rng.integers(1, 210, 2000)
+    pos = rng.choice(20000, 2000, replace=False)
+    for p, s in zip(pos, rare):
+        data[p] = int(s)
+    data = bytes(data)
+    enc = huffman_encode(data)
+    assert enc[0] >> 7 == 1  # dict engaged
+    from imageencoder_tpu.ops.huffman import parse_dict
+    from imageencoder_tpu.ops.bitpack import BitReader
+
+    entries = parse_dict(BitReader(enc))
+    lengths = {}
+    for sym, word, ln in entries:
+        lengths.setdefault(ln, 0)
+        lengths[ln] += 1
+    assert max(lengths.values()) > 127  # the split case actually occurred
+    assert huffman_decode(enc)[:len(data)] == data

@@ -155,3 +155,18 @@ def test_fixture_psnr_matches_baseline_table(quant, name):
     enc = encode_image(img, quant, True, use_huffman=True)
     dec = decode_image(enc)
     assert abs(psnr(img, dec) - BASELINE_PSNR[name]) < 0.01, name
+
+
+def test_alternate_quant_matrix_cross_parity(ref):
+    """matrix4_2.txt (different value range -> different 5-bit width)."""
+    qf = str(FIXTURES / "matrix4_2.txt")
+    quant2 = QuantMatrix.from_file(qf)
+    img = fixture_image("ex6")
+    ref_enc = ref.encode_image(img, qf, True, name="q2ex6")
+    ref_px = ref.decode_image(ref_enc, img.shape[1], img.shape[0], qf,
+                              name="q2ex6")
+    our_enc = encode_image(img, quant2, True, use_huffman=True)
+    assert np.array_equal(
+        ref.decode_image(our_enc, img.shape[1], img.shape[0], qf,
+                         name="q2ex6x"), ref_px)
+    assert np.array_equal(decode_image(our_enc), ref_px)
