@@ -164,3 +164,17 @@ def test_threaded_gop_decode_identical(quant):
     nomc_s = decode_video(enc, motioncomp=False)
     nomc_t = decode_video(enc, motioncomp=False, workers=4)
     assert nomc_s == nomc_t
+
+
+def test_video_rle_off_roundtrip(quant, ref):
+    """rle=0 video: the reference encoder ABORTS on this configuration
+    (heap corruption — its buffer estimate assumes RLE-compressed blocks),
+    so cross-encode parity is untestable; we verify our own round trip and
+    that the reference DECODER reads our stream."""
+    data, _ = make_video(n=4, seed=9)
+    with pytest.raises(RuntimeError):
+        ref.encode_video(data, 64, 64, MATRIX, False, 4, 16, name="norle")
+    ours = encode_video(data, 64, 64, quant, False, 4, 16, use_huffman=True)
+    odec, params, _ = decode_video(ours)
+    assert params.frame_count == 4
+    assert ref.decode_video(ours, name="norle") == odec
