@@ -40,6 +40,10 @@ def main(argv=None) -> int:
     ap.add_argument("--checkpoint-dir", default="",
                     help="video encode: persist per-GOP segments here and "
                          "resume after interruption (utils/checkpoint.py)")
+    ap.add_argument("--workers", type=int, default=0,
+                    help="video decode: decode this many GOPs in parallel "
+                         "(GOPs are data-independent; output is identical "
+                         "to the serial decode)")
     ap.add_argument("--block-size", type=int, default=4, choices=[4, 8],
                     help="image transform block size (reference supports 4; "
                          "8 requires --norm ortho)")
@@ -129,9 +133,15 @@ def _run(c, mode, args, use_huffman) -> int:
         if "decfile" in c.values and args.mode in ("decode", "both"):
             dec = VideoDecoder(c.get("encfile"), c.get("decfile"),
                                motioncomp=bool(int(c.get("motioncompensation", "1"))),
-                               backend=args.backend)
+                               backend=args.backend, workers=args.workers)
             dec.process()
             dec.save_result()
+        elif args.mode == "decode":
+            # A decode-only run was requested but this encoder-schema config
+            # names no decfile: silently returning 0 would read as success.
+            print("--mode decode requested but the config has no decfile; "
+                  "nothing was decoded", file=sys.stderr)
+            return 4
         return 0
 
     # video-decode
@@ -142,7 +152,7 @@ def _run(c, mode, args, use_huffman) -> int:
     t0 = time.perf_counter()
     dec = VideoDecoder(c.get("encfile"), c.get("decfile"),
                        motioncomp=bool(int(c.get("motioncompensation"))),
-                       backend=args.backend)
+                       backend=args.backend, workers=args.workers)
     dec.process()
     dec.save_result()
     Logger.write(f"Elapsed time: {1e3 * (time.perf_counter() - t0):.3f} ms")

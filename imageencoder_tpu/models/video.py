@@ -138,16 +138,22 @@ def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
         format-compatible either way (the wire carries no reference state).
     """
     assert width % BLOCK_SIZE == 0 and height % BLOCK_SIZE == 0
+    gop = max(1, gop)
     if width % MACRO or height % MACRO:
         # The reference only asserts %4 (VideoEncoder.cpp:13-14) but its
         # P-frame path desyncs on non-%16 dims: MicroBlocks outside any
         # MacroBlock never get an RLE sequence, so streamEncoded skips them
-        # while the decoder still reads them.  We reject such dims upfront.
-        raise ValueError(
-            f"video dimensions must be multiples of {MACRO} "
-            f"(got {width}x{height}); the reference silently produces "
-            f"undecodable streams for these")
-    gop = max(1, gop)
+        # while the decoder still reads them.  With gop == 1 no P-frame is
+        # ever emitted (the reference handles all-I %4 dims correctly), so
+        # only reject dims when P-frames would exist.
+        if gop > 1:
+            raise ValueError(
+                f"video dimensions must be multiples of {MACRO} "
+                f"(got {width}x{height}); the reference silently produces "
+                f"undecodable streams for these when gop > 1")
+        backend_eff = "all-i"  # no macro grid: motion pipelines don't apply
+    else:
+        backend_eff = backend
     frames = split_yuv420(data, width, height)
     n_frames = len(frames)
     mb = mvec_bits(merange)
@@ -168,7 +174,7 @@ def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
             return huffman_encode(inner)
         return inner
 
-    if backend == "jax":
+    if backend_eff == "jax":
         # Whole video in one device computation (ops/video_pipeline.py):
         # raw-reference mode has no frame-to-frame carry, so motion search,
         # transforms and bit packing batch over every frame at once;
@@ -390,13 +396,15 @@ class VideoDecoder:
     dest_file: str
     motioncomp: bool = True
     backend: str = "numpy"
+    workers: int = 0  # > 1: GOP-parallel decode (GOPs are independent)
 
     def process(self) -> bool:
         with open(self.source_file, "rb") as f:
             data = f.read()
         Logger.write("[VideoDecoder] Processing video...")
         self._result, self._params, _ = decode_video(
-            data, motioncomp=self.motioncomp, backend=self.backend)
+            data, motioncomp=self.motioncomp, backend=self.backend,
+            workers=self.workers)
         return True
 
     def save_result(self) -> None:

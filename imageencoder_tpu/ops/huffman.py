@@ -86,27 +86,48 @@ def code_lengths(freqs: np.ndarray) -> np.ndarray:
 
 
 def _limit_lengths(lengths: np.ndarray, cap: int) -> np.ndarray:
-    """JPEG-style adjust: fold over-long codes back under ``cap`` bits."""
-    hist = np.bincount(lengths[lengths > 0], minlength=64)
+    """JPEG-style adjust: fold over-long codes back under ``cap`` bits.
+
+    Every move below preserves Kraft sum <= 1, so the adjusted distribution
+    always admits a canonical prefix code (canonical_codes assigns codes
+    from lengths alone).  Kraft-checked by test_huffman_limit_lengths.
+    """
+    hist = np.bincount(lengths[lengths > 0]).astype(np.int64)
     for ln in range(len(hist) - 1, cap, -1):
-        while hist[ln] > 0:
-            # Move a pair of codes at depth ln up: one to ln-1 is impossible
-            # directly; standard trick: find j < ln-1 with hist[j] > 0,
-            # split one code at j into two at j+1, retire two at ln to ln-1.
+        while hist[ln] > 1:
+            # Retire a PAIR of codes at depth ln: one moves to ln-1 (Kraft
+            # neutral: 2*2^-ln == 2^-(ln-1)); the slot is paid for by
+            # splitting one code at some occupied depth j <= ln-2 into two
+            # at j+1 (also Kraft neutral).
             j = ln - 2
             while j > 0 and hist[j] == 0:
                 j -= 1
+            if j == 0:
+                # No splittable shallower code.  Impossible while the total
+                # Kraft sum is 1 and the alphabet has <= 2^(cap-1) symbols
+                # (all-deep distributions sum below 1), but guard against
+                # it ever underflowing hist[0]: just promote the pair
+                # (Kraft decreases; still a valid prefix-code profile).
+                hist[ln] -= 2
+                hist[ln - 1] += 1
+                continue
             hist[ln] -= 2
             hist[ln - 1] += 1
             hist[j + 1] += 2
             hist[j] -= 1
+        if hist[ln] == 1:
+            # Odd leftover (cannot happen for a true Huffman profile at the
+            # deepest level, where leaves pair; guard for robustness):
+            # promoting a single code only decreases the Kraft sum.
+            hist[ln] -= 1
+            hist[ln - 1] += 1
     # Reassign lengths: shortest codes to most frequent symbols (stable).
     order = np.argsort(lengths, kind="stable")
     present = order[lengths[order] > 0]
     # sort present symbols by original length then symbol for determinism
     new_lengths = np.zeros_like(lengths)
-    lens_sorted = np.repeat(np.arange(len(hist)), hist)
-    assert len(lens_sorted) == len(present)
+    lens_sorted = np.repeat(np.arange(len(hist)), np.maximum(hist, 0))
+    assert len(lens_sorted) == len(present), (hist, len(present))
     new_lengths[present] = lens_sorted
     return new_lengths
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import pathlib
+import zlib
 
 import numpy as np
 
@@ -27,6 +28,7 @@ from ..models.headers import VideoParams, write_image_header, write_video_params
 from ..models.video import mvec_bits, split_yuv420
 from ..ops import bitpack
 from ..ops.bitpack import BitWriter
+from ..utils.logger import Logger
 from ..utils.quant import QuantMatrix
 
 
@@ -84,9 +86,12 @@ def encode_video_checkpointed(data: bytes, width: int, height: int,
     d.mkdir(parents=True, exist_ok=True)
     frames = split_yuv420(data, width, height)
     n_frames = len(frames)
+    # norm and backend both change payload bits (DCT scaling; f32 vs f64
+    # rounding ties), so a resume under different numerics must be rejected
+    # rather than silently splicing stale segments into the new stream.
     meta = {"width": width, "height": height, "gop": gop,
             "merange": merange, "rle": int(use_rle), "frames": n_frames,
-            "ref_mode": ref_mode}
+            "ref_mode": ref_mode, "norm": norm, "backend": backend}
     meta_p = d / "meta.json"
     if meta_p.exists():
         old = json.loads(meta_p.read_text())
@@ -100,14 +105,32 @@ def encode_video_checkpointed(data: bytes, width: int, height: int,
     for i, (s, e) in enumerate(_gop_slices(n_frames, gop)):
         seg_p = d / f"gop_{i:06d}.seg"
         info_p = d / f"gop_{i:06d}.json"
+        seg = nbits = None
+        # Failure DETECTION (SURVEY §5): a crash mid-write, bit rot, or a
+        # deleted/truncated file must be caught and the GOP re-encoded, not
+        # silently spliced into the stream.  Each segment carries its CRC32
+        # and bit length; any inconsistency invalidates the segment.
         if seg_p.exists() and info_p.exists():
-            seg = seg_p.read_bytes()
-            nbits = json.loads(info_p.read_text())["nbits"]
-        else:
+            raw = seg_p.read_bytes()
+            try:
+                info = json.loads(info_p.read_text())
+                nbits = int(info["nbits"])
+                ok = (info["crc32"] == zlib.crc32(raw)
+                      and len(raw) == (nbits + 7) // 8)
+            except (ValueError, KeyError, TypeError):
+                ok = False
+            if ok:
+                seg = raw
+            else:
+                nbits = None
+                Logger.write(f"[checkpoint] segment {i} failed validation; "
+                             f"re-encoding GOP")
+        if seg is None:
             seg, nbits = _encode_gop_payload(frames[s:e], quant, use_rle,
                                              merange, norm, backend, ref_mode)
             seg_p.write_bytes(seg)
-            info_p.write_text(json.dumps({"nbits": nbits}))
+            info_p.write_text(json.dumps({"nbits": nbits,
+                                          "crc32": zlib.crc32(seg)}))
         segments.append((seg, nbits))
 
     # Assemble: header bits + segment bit strings, then optional Huffman.

@@ -80,3 +80,54 @@ def test_assignment_balanced():
         assert flat == list(range(11))
         sizes = [len(s) for s in ids]
         assert max(sizes) - min(sizes) <= 1
+
+
+def test_corrupt_segment_detected_and_reencoded(tmp_path, quant, video):
+    """Fault injection: a bit-flipped segment must be detected (CRC) and
+    re-encoded on resume — never silently spliced into the stream."""
+    d = tmp_path / "ck4"
+    full = encode_video_checkpointed(video, 64, 64, quant, True, 4, 16,
+                                     str(d), use_huffman=False)
+    seg_p = d / "gop_000001.seg"
+    raw = bytearray(seg_p.read_bytes())
+    raw[len(raw) // 2] ^= 0x40  # flip one bit mid-segment
+    seg_p.write_bytes(bytes(raw))
+    again = encode_video_checkpointed(video, 64, 64, quant, True, 4, 16,
+                                      str(d), use_huffman=False)
+    assert again == full
+    # And the on-disk segment was actually repaired (CRC now matches).
+    import zlib
+    info = json.loads((d / "gop_000001.json").read_text())
+    assert info["crc32"] == zlib.crc32((d / "gop_000001.seg").read_bytes())
+
+
+def test_truncated_segment_detected(tmp_path, quant, video):
+    d = tmp_path / "ck5"
+    full = encode_video_checkpointed(video, 64, 64, quant, True, 4, 16,
+                                     str(d), use_huffman=False)
+    seg_p = d / "gop_000000.seg"
+    seg_p.write_bytes(seg_p.read_bytes()[:-3])  # crash mid-write
+    again = encode_video_checkpointed(video, 64, 64, quant, True, 4, 16,
+                                      str(d), use_huffman=False)
+    assert again == full
+
+
+def test_malformed_segment_meta_detected(tmp_path, quant, video):
+    d = tmp_path / "ck6"
+    full = encode_video_checkpointed(video, 64, 64, quant, True, 4, 16,
+                                     str(d), use_huffman=False)
+    (d / "gop_000002.json").write_text("{not json")
+    again = encode_video_checkpointed(video, 64, 64, quant, True, 4, 16,
+                                      str(d), use_huffman=False)
+    assert again == full
+
+
+def test_numerics_mismatch_rejected(tmp_path, quant, video):
+    """Resuming with a different norm/backend must be rejected: those change
+    payload bits (ADVICE r1) and would splice stale numerics."""
+    d = tmp_path / "ck7"
+    encode_video_checkpointed(video, 64, 64, quant, True, 4, 16, str(d),
+                              use_huffman=False, norm="reference")
+    with pytest.raises(ValueError):
+        encode_video_checkpointed(video, 64, 64, quant, True, 4, 16, str(d),
+                                  use_huffman=False, norm="ortho")

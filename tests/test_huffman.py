@@ -71,6 +71,46 @@ def test_code_lengths_kraft():
     assert np.isclose(np.sum(2.0 ** -lengths[present]), 1.0)
 
 
+def test_limit_lengths_rebalance():
+    """Fibonacci frequencies force natural code depths > 15, exercising the
+    _limit_lengths fold (ops/huffman.py): capped at 15, Kraft-valid,
+    prefix-free after canonical assignment, and round-trip exact."""
+    n_sym = 24
+    fib = [1, 1]
+    while len(fib) < n_sym:
+        fib.append(fib[-1] + fib[-2])
+    freqs = np.zeros(256, dtype=np.int64)
+    freqs[:n_sym] = fib
+
+    # The natural (uncapped) Huffman depth for this profile exceeds 15.
+    import heapq
+    heap = sorted(float(f) for f in fib)
+    heapq.heapify(heap)
+    depth_bound = 0
+    while len(heap) > 1:
+        a, b = heapq.heappop(heap), heapq.heappop(heap)
+        heapq.heappush(heap, a + b)
+        depth_bound += 1
+    assert depth_bound > 15  # sanity: the cap is actually engaged
+
+    lengths = code_lengths(freqs)
+    present = lengths > 0
+    assert np.count_nonzero(present) == n_sym
+    assert lengths[present].max() <= 15
+    assert np.sum(2.0 ** -lengths[present].astype(np.float64)) <= 1.0 + 1e-12
+
+    words, lengths = canonical_codes(lengths)
+    codes = [format(words[s], f"0{lengths[s]}b") for s in range(256)
+             if lengths[s] > 0]
+    for a in codes:
+        for b in codes:
+            if a != b:
+                assert not b.startswith(a)
+
+    data = np.repeat(np.arange(n_sym, dtype=np.uint8), fib).tobytes()
+    assert roundtrip(data) == data
+
+
 def test_canonical_codes_prefix_free():
     freqs = np.zeros(256, dtype=np.int64)
     freqs[:16] = np.arange(1, 17) ** 3

@@ -178,3 +178,28 @@ def test_video_rle_off_roundtrip(quant, ref):
     odec, params, _ = decode_video(ours)
     assert params.frame_count == 4
     assert ref.decode_video(ours, name="norle") == odec
+
+
+def test_gop1_non_macro_dims_roundtrip(quant):
+    """gop == 1 emits no P-frames, so %4-but-not-%16 dims are legal (the
+    reference encodes/decodes them correctly in the all-I case; the guard
+    only rejects dims when P-frames would desync — ADVICE r1)."""
+    w, h = 24, 20  # multiples of 4, not of 16
+    video, frames = make_video(w=w, h=h, n=3, seed=21, smooth=False)
+    enc = encode_video(video, w, h, quant, True, 1, 16, use_huffman=False)
+    dec, params, (dw, dh) = decode_video(enc)
+    assert (dw, dh) == (w, h)
+    assert params.frame_count == 3 and params.gop == 1
+    y_size = w * h
+    frame_size = y_size + y_size // 2
+    for f in range(3):
+        got = np.frombuffer(dec[f * frame_size:f * frame_size + y_size],
+                            dtype=np.uint8).reshape(h, w)
+        assert np.mean(np.abs(got.astype(int) - frames[f].astype(int))) < 16
+
+
+def test_gop2_non_macro_dims_still_rejected(quant):
+    w, h = 24, 20
+    video, _ = make_video(w=w, h=h, n=3, seed=21, smooth=False)
+    with pytest.raises(ValueError):
+        encode_video(video, w, h, quant, True, 2, 16, use_huffman=False)
