@@ -50,19 +50,11 @@ def header_to_words(header: bytes) -> np.ndarray:
     return buf.view(">u4").astype(np.uint32)
 
 
-def pack_blocks_device(vals, nbits, start_bit, n_words: int, starts=None):
-    """Pack per-block fields into a global uint32 word array on device.
+def _local_words(vals, nbits):
+    """Level 1: per-record register files.
 
-    vals:  int32 [N, F] field values (will be truncated to field width)
-    nbits: int32 [N, F] field widths, 0 = skip (<= 16)
-    start_bit: traced int32 scalar — absolute bit offset of block 0
-    n_words: static output size (upper bound; tail words stay 0)
-    starts: optional int32 [N] absolute bit offset per block; when given,
-        blocks land at these positions instead of the dense cumsum layout
-        (callers guarantee non-overlap; used for segmented/aligned packing).
-
-    Returns (words uint32 [n_words] MSB-first within each word,
-             total_bits int32 scalar incl. start_bit).
+    vals/nbits: int32 [N, F] -> (local uint32 [N, lw] — each record's bits
+    packed MSB-first from bit 0 of its own word row — and block_bits [N]).
     """
     import jax.numpy as jnp
 
@@ -72,7 +64,6 @@ def pack_blocks_device(vals, nbits, start_bit, n_words: int, starts=None):
 
     lw = local_words(f)
 
-    # Level 1: local offsets and the per-block register file.
     local_off = jnp.cumsum(nb, axis=1) - nb  # [N, F] exclusive
     block_bits = jnp.sum(nb, axis=1)  # [N]
 
@@ -103,6 +94,136 @@ def pack_blocks_device(vals, nbits, start_bit, n_words: int, starts=None):
                      axis=1, dtype=u32)
              | jnp.sum(jnp.where(sel2, part2[:, :, None], jnp.uint32(0)),
                        axis=1, dtype=u32))
+    return local, block_bits
+
+
+def _bit_reverse_perm(n_pow2: int) -> np.ndarray:
+    """perm[p] = bit-reversal of p: leaf position p of the merge tree must
+    hold record perm[p] so that pair-(i, i+M/2) merging yields records in
+    original order (FFT-style reordering)."""
+    bits = max(0, n_pow2.bit_length() - 1)
+    idx = np.arange(n_pow2, dtype=np.int64)
+    rev = np.zeros_like(idx)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return rev
+
+
+def _merge_levels(buf, lens):
+    """Hierarchical bit-buffer concatenation — the scatter-free level 2.
+
+    buf:  uint32 [W, M] — M bit-buffers in COLUMN layout (buffer m's word w
+          at buf[w, m]; bits MSB-first), each a bit string of lens[0, m]
+          bits starting at bit 0.
+    lens: int32 [1, M].
+
+    Repeatedly concatenates buffer pairs (m, m + M/2): B is shifted right
+    by len(A) bits — the word-granular part as a data-dependent barrel of
+    static sublane shifts selected by per-lane masks, the bit-granular part
+    as a funnel shift by a per-lane vector amount.  Every op is a dense
+    VPU-friendly shift/where: no scatter, no gather, no dynamic layout.
+    This is the serial BitStreamWriter carry chain (BitStream.cpp:61-77)
+    reassociated into a log-depth reduction (bit-string concat is
+    associative).
+
+    Returns (flat uint32 [W * M], total_bits int32 scalar).
+    """
+    import jax.numpy as jnp
+
+    u32 = jnp.uint32
+    w, m = buf.shape
+    while m > 1:
+        half = m // 2
+        a, b_ = buf[:, :half], buf[:, half:]
+        la, lb = lens[:, :half], lens[:, half:]
+        x = jnp.concatenate([b_, jnp.zeros_like(b_)], axis=0)  # [2W, half]
+        o = la >> 5          # word offset, <= w
+        s = (la & 31).astype(u32)
+        for bit in range(int(w).bit_length()):
+            k = 1 << bit
+            sh = jnp.concatenate([jnp.zeros((k, half), u32), x[:-k]], axis=0)
+            x = jnp.where(((o >> bit) & 1) == 1, sh, x)
+        prev = jnp.concatenate([jnp.zeros((1, half), u32), x[:-1]], axis=0)
+        x = jnp.where(s > 0, (x >> s) | (prev << ((32 - s) % 32)), x)
+        buf = jnp.concatenate([a, jnp.zeros_like(a)], axis=0) | x
+        lens = la + lb
+        w, m = 2 * w, half
+    return buf[:, 0], lens[0, 0]
+
+
+def _pack_merge(vals, nbits, start_bit, n_words: int,
+                start_words_bound: int = HEADER_WORDS):
+    """Dense-layout pack via the merge tree (drop-in for the scatter path).
+
+    start_bit must be < 32 * start_words_bound (callers' header/dict prefix
+    capacity).  Returns (words uint32 [n_words], total_bits incl start_bit).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    u32 = jnp.uint32
+    n, f = vals.shape
+    lw = local_words(f)
+    if n == 0:
+        return (jnp.zeros((n_words,), u32),
+                jnp.asarray(start_bit, jnp.int32))
+
+    n2 = 1 << max(0, (n - 1).bit_length())
+    if n2 > n:
+        vals = jnp.pad(vals, ((0, n2 - n), (0, 0)))
+        nbits = jnp.pad(nbits, ((0, n2 - n), (0, 0)))
+    perm = jnp.asarray(_bit_reverse_perm(n2))
+    local, block_bits = _local_words(vals[perm], nbits[perm])
+    merged, rel_total = _merge_levels(local.T,
+                                      block_bits[None, :].astype(jnp.int32))
+
+    # Place the stream at start_bit: word roll + funnel via dynamic slices.
+    wtot = merged.shape[0]
+    p = start_words_bound + 1
+    mp = jnp.concatenate([
+        jnp.zeros((p,), u32), merged,
+        jnp.zeros((max(0, n_words - wtot),), u32)])
+    sb = jnp.asarray(start_bit, jnp.int32)
+    o = sb >> 5
+    s = (sb & 31).astype(u32)
+    w1 = jax.lax.dynamic_slice(mp, (p - o,), (n_words,))
+    w0 = jax.lax.dynamic_slice(mp, (p - o - 1,), (n_words,))
+    out = jnp.where(s > 0, (w1 >> s) | (w0 << ((32 - s) % 32)), w1)
+    return out, sb + rel_total
+
+
+def pack_blocks_device(vals, nbits, start_bit, n_words: int, starts=None,
+                       method: str = "auto",
+                       start_words_bound: int = HEADER_WORDS):
+    """Pack per-block fields into a global uint32 word array on device.
+
+    vals:  int32 [N, F] field values (will be truncated to field width)
+    nbits: int32 [N, F] field widths, 0 = skip (<= 16)
+    start_bit: traced int32 scalar — absolute bit offset of block 0
+        (< 32 * start_words_bound on the merge path)
+    n_words: static output size (upper bound; tail words stay 0)
+    starts: optional int32 [N] absolute bit offset per block; when given,
+        blocks land at these positions instead of the dense cumsum layout
+        (callers guarantee non-overlap; used for segmented/aligned packing).
+    method: "merge" (log-depth bit-buffer merge, scatter-free — the fast
+        TPU path), "scatter" (two-level funnel + scatter-add), or "auto"
+        (merge for the dense layout, scatter when ``starts`` is given).
+
+    Returns (words uint32 [n_words] MSB-first within each word,
+             total_bits int32 scalar incl. start_bit).
+    """
+    import jax.numpy as jnp
+
+    if method == "auto":
+        method = "scatter" if starts is not None else "merge"
+    if method == "merge":
+        assert starts is None, "merge path packs the dense cumsum layout"
+        return _pack_merge(vals, nbits, start_bit, n_words, start_words_bound)
+
+    n, f = vals.shape
+    u32 = jnp.uint32
+    lw = local_words(f)
+    local, block_bits = _local_words(vals, nbits)
 
     # Level 2: global funnel shift + scatter.
     if starts is None:

@@ -307,7 +307,9 @@ def _device_stages():
         vals = jnp.pad(vals, (0, pad)).reshape(rows, 16)
         nbits = jnp.pad(nbits, (0, pad)).reshape(rows, 16)
         n_out = (nbyte_lanes * MAX_CODE_LEN) // 32 + DICT_WORDS + 8
-        out, total = pack_blocks_device(vals, nbits, start_bit, n_out)
+        # start_bit = dict length in bits, < DICT_WORDS * 32.
+        out, total = pack_blocks_device(vals, nbits, start_bit, n_out,
+                                        start_words_bound=DICT_WORDS)
         out = out.at[:DICT_WORDS].set(out[:DICT_WORDS] | dict_words)
         return out, total
 

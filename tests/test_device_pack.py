@@ -60,3 +60,32 @@ def test_empty_width_fields_skipped():
     assert int(total) == 7
     host, _ = bitpack.pack_fields(vals.ravel(), nbits.ravel())
     assert words_to_bytes(words, int(total)) == host
+
+
+@pytest.mark.parametrize("n,f,start", [(1, 3, 0), (2, 5, 7), (257, 18, 171),
+                                       (1024, 18, 2047), (777, 16, 0)])
+def test_merge_matches_scatter(n, f, start):
+    """The log-depth merge packer (the TPU fast path) must be bit-identical
+    to the scatter packer for every dense layout."""
+    rng = np.random.default_rng(n * 7 + f)
+    nbits = rng.integers(0, 17, (n, f)).astype(np.int32)
+    vals = rng.integers(-(2 ** 15), 2 ** 15, (n, f)).astype(np.int32)
+    nw = n * 9 + 70
+    ws, ts = pack_blocks_device(jnp.asarray(vals), jnp.asarray(nbits),
+                                jnp.int32(start), nw, method="scatter")
+    wm, tm = pack_blocks_device(jnp.asarray(vals), jnp.asarray(nbits),
+                                jnp.int32(start), nw, method="merge")
+    assert int(ts) == int(tm)
+    assert np.array_equal(np.asarray(ws), np.asarray(wm))
+
+
+def test_merge_zero_length_records():
+    """Records whose every field is width 0 contribute nothing anywhere."""
+    vals = np.array([[3, 0], [0, 0], [5, 1]], dtype=np.int32)
+    nbits = np.array([[4, 0], [0, 0], [3, 2]], dtype=np.int32)
+    ws, ts = pack_blocks_device(jnp.asarray(vals), jnp.asarray(nbits),
+                                jnp.int32(5), 8, method="scatter")
+    wm, tm = pack_blocks_device(jnp.asarray(vals), jnp.asarray(nbits),
+                                jnp.int32(5), 8, method="merge")
+    assert int(ts) == int(tm) == 5 + 4 + 5
+    assert np.array_equal(np.asarray(ws), np.asarray(wm))
