@@ -205,17 +205,27 @@ def pack_blocks_device(vals, nbits, start_bit, n_words: int, starts=None,
     starts: optional int32 [N] absolute bit offset per block; when given,
         blocks land at these positions instead of the dense cumsum layout
         (callers guarantee non-overlap; used for segmented/aligned packing).
-    method: "merge" (log-depth bit-buffer merge, scatter-free — the fast
-        TPU path), "scatter" (two-level funnel + scatter-add), or "auto"
-        (merge for the dense layout, scatter when ``starts`` is given).
+    method: "pallas" (sequential-grid merge kernel, ops/pallas_pack.py —
+        the fast TPU path), "merge" (XLA log-depth bit-buffer merge),
+        "scatter" (two-level funnel + scatter-add), or "auto" (pallas on
+        TPU for the dense layout, scatter otherwise).
 
     Returns (words uint32 [n_words] MSB-first within each word,
              total_bits int32 scalar incl. start_bit).
     """
+    import jax
     import jax.numpy as jnp
 
     if method == "auto":
-        method = "scatter" if starts is not None else "merge"
+        if starts is None and jax.default_backend() == "tpu":
+            method = "pallas"
+        else:
+            method = "scatter"
+    if method == "pallas":
+        from .pallas_pack import pack_records_pallas
+
+        assert starts is None, "pallas path packs the dense cumsum layout"
+        return pack_records_pallas(vals, nbits, start_bit, n_words)
     if method == "merge":
         assert starts is None, "merge path packs the dense cumsum layout"
         return _pack_merge(vals, nbits, start_bit, n_words, start_words_bound)
