@@ -182,6 +182,18 @@ def huffman_encode(inner: bytes) -> bytes:
     """Compress ``inner`` (whole-byte stream); fallback to [0][raw] if bigger."""
     data = np.frombuffer(inner, dtype=np.uint8)
     freqs = np.bincount(data, minlength=256)
+    return huffman_encode_with_hist(inner, freqs)
+
+
+def huffman_encode_with_hist(inner: bytes, freqs: np.ndarray) -> bytes:
+    """huffman_encode with a precomputed byte histogram of ``inner``.
+
+    The sharded encode paths compute the histogram as a psum of per-shard
+    device histograms (parallel/sharding.py) — the distributed equivalent
+    of the reference's serial histogram loop (Huffman.cpp:236-243) — so
+    the host never rescans the stream for statistics.
+    """
+    data = np.frombuffer(inner, dtype=np.uint8)
     built = _dict_and_codes(freqs)
     if built is None:
         return _fallback(inner)

@@ -14,8 +14,10 @@ Collectives per step (raw-reference mode, the shipped binaries' semantics):
      merange), so each device receives the merange boundary rows of its
      up/down neighbours — two ppermutes along "block".  This is the
      context/ring-parallel analogue SURVEY §5 calls for.
-  3. psum/all_gather for the global width histogram and per-stripe payload
-     bit totals (stream assembly offsets), as in sharding.py.
+  3. all_gather of per-stripe payload bit totals (stream assembly
+     offsets); the packed step below additionally psums a byte histogram
+     of the final-phase packed words — the distributed Huffman statistics
+     stage (serial analogue: Huffman.cpp:236-243).
 
 The motion arithmetic is identical to ops/motion.py (tie-breaks, clamping,
 skip rule) — only indexing moves to stripe-local coordinates.  Outputs are
@@ -91,7 +93,6 @@ def make_sharded_video_step(mesh, gop: int, merange: int, mvec_nbits: int,
         base   int64 [F, S]          per-(frame, stripe) micro-payload bit
                                      totals, all_gather'd (exclusive prefix
                                      is host-side trivial)
-        hist   int32 [17]            global width histogram (replicated)
 
     Constraints: F % frame_axis == 0, (H / 16) % block_axis == 0, and every
     device chunk must hold at least 1 frame.
@@ -244,19 +245,358 @@ def make_sharded_video_step(mesh, gop: int, merange: int, mvec_nbits: int,
         gathered = jax.lax.all_gather(total_local, "block")  # [S, f_loc]
         base = gathered.T.astype(jnp.int64)  # [f_loc, S] totals per stripe
 
-        widths = bvals[:, :, 0].reshape(-1)
-        hist = jnp.sum(jnp.arange(17, dtype=jnp.int32)[None, :]
-                       == widths[:, None], axis=0, dtype=jnp.int32)
-        hist = jax.lax.psum(hist, ("frame", "block"))
-        return mvals, bvals, bnbits, base, hist
+        return mvals, bvals, bnbits, base
 
     fn = shard_map(
         per_shard, mesh=mesh,
         in_specs=(P("frame", "block", None), P()),
         out_specs=(P("frame", "block", None),
                    P("frame", "block", None), P("frame", "block", None),
-                   P("frame", None), P()),
+                   P("frame", None)),
         check_rep=False)
     import jax
 
     return jax.jit(fn)
+
+
+def make_sharded_video_packed(mesh, gop: int, merange: int, mvec_nbits: int,
+                              block_size: int = 4, use_rle: bool = True,
+                              norm: str = "reference", ref_mode: str = "raw"):
+    """Sharded video encode that ships PACKED BITS off every device.
+
+    The round-2 canonical multi-chip video path: each (frame-chunk, stripe)
+    shard runs the halo-exchange motion search, packs its motion-vector
+    and residual-block segments on device (Pallas / scatter packer at bit
+    offset 0), all_gathers per-segment bit totals to learn its FINAL base
+    offsets, funnel-shifts its words to that phase, and psums a byte
+    histogram of its fully-covered bytes (the distributed Huffman
+    statistics stage; serial analogue Huffman.cpp:236-243).  Host assembly
+    (assemble_sharded_video_packed) is then a byte-OR splice of O(stream)
+    bytes.
+
+    ref_mode "raw": P-frames reference the previous RAW frame (shipped-
+    binary semantics; the cross-chunk reference is one ppermute).
+    ref_mode "recon": P-frames reference the previous frame's
+    reconstruction (shipped-source semantics, Frame.cpp:210-242) — the
+    carry rides a lax.scan whose halo exchange runs per step; frame chunks
+    must align with GOP boundaries (F / frame_axis % gop == 0) so no
+    reconstruction dependency crosses devices (GOPs are independent).
+
+    Returns jitted f(frames u8 [F, H, W], quant f32, start_bit i32) ->
+        mvw      uint32 [F, S, WMV]   aligned motion-vector segment words
+        blw      uint32 [F, S, WBLK]  aligned residual-block segment words
+        blk_bits int32  [F, S]        per-segment block-payload bit counts
+                                      (mv bits are static: P * Nmb * 2*mb)
+        hist     int32  [F, 257]      per-frame fully-covered-byte
+                                      histogram (psum over stripes)
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.device_pack import local_words, pack_blocks_device
+    from .sharding import _segment_byte_histogram
+
+    b = block_size
+    k = b * b
+    m = int(merange)
+    mb = int(mvec_nbits)
+    dct_m = np.asarray(dct_matrix(b, norm), dtype=np.float32)
+    zz = zigzag_order(b)
+    f_ax = mesh.shape["frame"]
+    s_ax = mesh.shape["block"]
+    gop = max(1, gop)
+
+    def per_shard(frames, quant, start_bit):
+        f_loc, h_loc, w = frames.shape
+        assert h_loc >= m, (
+            f"stripe height {h_loc} < merange {m}; use fewer stripes")
+        if ref_mode == "recon":
+            assert f_loc % gop == 0, (
+                f"recon mode needs GOP-aligned frame chunks: "
+                f"{f_loc} frames/chunk vs gop {gop}")
+        sid = jax.lax.axis_index("block")
+        fid = jax.lax.axis_index("frame")
+        h_glob = h_loc * s_ax
+        row0 = sid * h_loc
+        f0 = fid * f_loc
+        halo = min(m, h_loc)
+        nby, nbx = h_loc // MACRO, w // MACRO
+        n_mb = nby * nbx
+        mby, mbx = h_loc // b, w // b
+        n_micro = mby * mbx
+        qf = quant.astype(jnp.float32)
+        d = jnp.asarray(dct_m)
+
+        # Global I-frame mask for this chunk's frames.
+        is_i_all = np.array([(i % gop) == 0 for i in range(f_ax * f_loc)])
+        is_i = jax.lax.dynamic_slice(jnp.asarray(is_i_all), (f0,), (f_loc,))
+
+        by_l = (np.repeat(np.arange(nby), nbx) * MACRO).astype(np.int32)
+        bx_l = (np.tile(np.arange(nbx), nby) * MACRO).astype(np.int32)
+        by_g = jnp.asarray(by_l) + row0 * jnp.int32(1)  # global rows [n_mb]
+        bx_g = jnp.asarray(bx_l)
+        r = jnp.arange(MACRO)
+        p_h = m - 1
+        d_span = 2 * p_h + 1
+        offsets = jnp.stack(
+            jnp.meshgrid(jnp.arange(-p_h, p_h + 1),
+                         jnp.arange(-p_h, p_h + 1), indexing="ij"),
+            axis=-1).reshape(-1, 2) if m >= 2 else None
+
+        def one_frame(ref_stripe, cur, i_frame):
+            """Motion + residual fields for ONE frame given the reference
+            stripe (raw or recon).  Returns (off, vals, nbits, recon)."""
+            # halo exchange of the reference stripe borders (ring ppermute)
+            top = ref_stripe[:halo]
+            bot = ref_stripe[-halo:]
+            from_above = jax.lax.ppermute(
+                bot, "block", [(i, i + 1) for i in range(s_ax - 1)])
+            from_below = jax.lax.ppermute(
+                top, "block", [(i, i - 1) for i in range(1, s_ax)])
+            ref_h = jnp.concatenate([from_above, ref_stripe, from_below],
+                                    axis=0)
+
+            off = jnp.zeros((n_mb, 2), dtype=jnp.int32)
+            if m >= 2:
+                cur_i = cur.astype(jnp.int32)
+                ref_pad = jnp.pad(ref_h.astype(jnp.int32),
+                                  ((0, 0), (p_h, p_h)))
+
+                def pool(x):  # [h_loc, w] -> [n_mb]
+                    x = x.reshape(nby, MACRO, w).sum(axis=1)
+                    return x.reshape(nby, nbx, MACRO).sum(axis=2).reshape(-1)
+
+                def sad_at(carry, od):
+                    dy, dx = od[0], od[1]
+                    shifted = jax.lax.dynamic_slice(
+                        ref_pad, (halo + dy, p_h + dx), (h_loc, w))
+                    return carry, pool(jnp.abs(cur_i - shifted))
+
+                _, s_maps = jax.lax.scan(sad_at, 0, offsets)
+                smap = s_maps.reshape(d_span, d_span, n_mb)
+                bidx = jnp.arange(n_mb, dtype=jnp.int32)
+
+                def lookup(cand):
+                    dx_eff = jnp.clip(bx_g + cand[:, 0], 0, w - MACRO) - bx_g
+                    dy_eff = (jnp.clip(by_g + cand[:, 1], 0, h_glob - MACRO)
+                              - by_g)
+                    sad = smap[dy_eff + p_h, dx_eff + p_h, bidx]
+                    return sad, (dx_eff == 0) & (dy_eff == 0)
+
+                best = jnp.full((n_mb,), jnp.iinfo(jnp.int32).max, jnp.int32)
+                for step_sz in search_steps(m):
+                    running = best
+                    sel = off
+                    for p in range(len(MER_SIGNS)):
+                        sx, sy = int(MER_SIGNS[p, 0]), int(MER_SIGNS[p, 1])
+                        cand = off + jnp.array([sx * step_sz, sy * step_sz],
+                                               jnp.int32)
+                        diff, at_self = lookup(cand)
+                        skip = (at_self if p > 0
+                                else jnp.zeros_like(at_self))
+                        acc = (~skip) & (diff <= running)
+                        running = jnp.where(acc, diff, running)
+                        sel = jnp.where(acc[:, None], cand, sel)
+                    off = sel
+                    best = running
+
+            px = jnp.clip(bx_g + off[:, 0], 0, w - MACRO)
+            py = jnp.clip(by_g + off[:, 1], 0, h_glob - MACRO)
+            py_l = py - row0 + halo
+            win = ref_h[py_l[:, None, None] + r[None, :, None],
+                        px[:, None, None] + r[None, None, :]]
+            pred = win.reshape(nby, nbx, MACRO, MACRO) \
+                      .swapaxes(1, 2).reshape(h_loc, w)
+
+            x = jnp.where(i_frame, cur.astype(jnp.float32),
+                          cur.astype(jnp.float32)
+                          - pred.astype(jnp.float32))
+            blocks = x.reshape(mby, b, mbx, b).swapaxes(1, 2)
+            blocks = blocks.reshape(n_micro, b, b) - jnp.float32(128.0)
+            y = jnp.einsum("ui,nij,vj->nuv", d, blocks, d,
+                           precision=jax.lax.Precision.HIGHEST)
+            q = _round_half_away(jnp, y / qf).astype(jnp.int32)
+            coeffs_zz = q.reshape(n_micro, k)[:, jnp.asarray(zz)]
+            vals, nbits = fields_from_coeffs(coeffs_zz, use_rle)
+
+            # Reconstruction (Block.cpp:111-119; I-frames stay raw,
+            # Frame.cpp:130-159).
+            deq = q.astype(jnp.float32) * qf
+            expanded = jnp.einsum("ui,nuv,vj->nij", d, deq, d,
+                                  precision=jax.lax.Precision.HIGHEST) \
+                + jnp.float32(128.0)
+            exp_img = expanded.reshape(mby, mbx, b, b).swapaxes(1, 2) \
+                              .reshape(h_loc, w)
+            recon = jnp.floor(jnp.clip(pred.astype(jnp.float32) + exp_img,
+                                       0.0, 255.0)).astype(jnp.uint8)
+            recon = jnp.where(i_frame, cur, recon)
+            return off, vals, nbits, recon
+
+        def scan_body(carry, inp):
+            cur, i_frame = inp
+            off, vals, nbits, recon = one_frame(carry, cur, i_frame)
+            new_carry = cur if ref_mode == "raw" else recon
+            return new_carry, (off, vals, nbits)
+
+        if ref_mode == "raw":
+            # Cross-chunk raw reference: previous chunk's last frame.
+            init = jax.lax.ppermute(
+                frames[-1], "frame",
+                [(i, (i + 1) % f_ax) for i in range(f_ax)])
+        else:
+            init = jnp.zeros((h_loc, w), jnp.uint8)  # chunk starts a GOP
+        _, (off_all, bvals, bnbits) = jax.lax.scan(
+            scan_body, init, (frames, is_i))
+
+        mask = (1 << mb) - 1
+        mvals = jnp.where(is_i[:, None, None], 0, off_all & mask)
+
+        # ---- device packing of both segment kinds, per local frame ----
+        lw_blk = local_words(k + 2)
+        lw_mv = local_words(2)
+        wblk = n_micro * lw_blk + 2
+        wmv = n_mb * lw_mv + 2
+        mv_nb = jnp.where(is_i[:, None, None], 0,
+                          jnp.full((f_loc, n_mb, 2), mb, jnp.int32))
+        blk_w, mv_w = [], []
+        for i in range(f_loc):
+            bw, _ = pack_blocks_device(bvals[i], bnbits[i], jnp.int32(0),
+                                       wblk)
+            mw, _ = pack_blocks_device(mvals[i], mv_nb[i], jnp.int32(0),
+                                       wmv)
+            blk_w.append(bw)
+            mv_w.append(mw)
+        blk_words = jnp.stack(blk_w)
+        mv_words = jnp.stack(mv_w)
+        blk_bits = jnp.sum(bnbits, axis=(1, 2), dtype=jnp.int32)  # [f_loc]
+
+        # Full [F, S] block-bit matrix (two tiny all_gathers).
+        g1 = jax.lax.all_gather(blk_bits, "block")       # [S, f_loc]
+        g2 = jax.lax.all_gather(g1, "frame")             # [f_ax, S, f_loc]
+        full_blk = g2.transpose(0, 2, 1).reshape(f_ax * f_loc, s_ax)
+
+        # Static per-frame mvec totals; wire order per frame is
+        # [mv(s0)..mv(sS-1)][blk(s0)..blk(sS-1)] (Frame.cpp:210-242).
+        mv_seg_bits = n_mb * 2 * mb
+        mv_total_np = np.where(is_i_all, 0, s_ax * mv_seg_bits)
+        mv_total = jnp.asarray(mv_total_np.astype(np.int64)).astype(jnp.int32)
+        frame_total = mv_total + jnp.sum(full_blk, axis=1)
+        sb = jnp.asarray(start_bit, jnp.int32)
+        frame_start = sb + jnp.cumsum(frame_total) - frame_total  # [F]
+
+        my_rows = f0 + jnp.arange(f_loc)
+        my_is_p = ~is_i
+        mv_base = (frame_start[my_rows]
+                   + sid * mv_seg_bits * my_is_p.astype(jnp.int32))
+        blk_prefix = (jnp.cumsum(full_blk, axis=1) - full_blk)  # [F, S]
+        blk_base = (frame_start[my_rows] + mv_total[my_rows]
+                    + blk_prefix[my_rows, sid])
+
+        def align(words, base):
+            s_sh = (base & 31).astype(jnp.uint32)[:, None]
+            ext = jnp.concatenate(
+                [words, jnp.zeros((f_loc, 1), jnp.uint32)], axis=1)
+            prev = jnp.concatenate(
+                [jnp.zeros((f_loc, 1), jnp.uint32), words], axis=1)
+            return jnp.where(
+                s_sh > 0, (ext >> s_sh) | (prev << ((32 - s_sh) % 32)), ext)
+
+        mv_aligned = align(mv_words, mv_base)
+        blk_aligned = align(blk_words, blk_base)
+
+        my_mv_bits = my_is_p.astype(jnp.int32) * mv_seg_bits
+        hists = []
+        for i in range(f_loc):
+            h_mv = _segment_byte_histogram(jnp, mv_aligned[i], mv_base[i],
+                                           my_mv_bits[i])
+            h_blk = _segment_byte_histogram(jnp, blk_aligned[i],
+                                            blk_base[i], blk_bits[i])
+            hists.append(h_mv + h_blk)
+        hist = jax.lax.psum(jnp.stack(hists), "block")    # [f_loc, 257]
+
+        return (mv_aligned[:, None, :], blk_aligned[:, None, :],
+                blk_bits[:, None], hist)
+
+    fn = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("frame", "block", None), P(), P()),
+        out_specs=(P("frame", "block", None), P("frame", "block", None),
+                   P("frame", "block"), P("frame", None)),
+        check_rep=False)
+    import jax
+
+    return jax.jit(fn)
+
+
+def assemble_sharded_video_packed(mvw, blw, blk_bits, width: int, height: int,
+                                  quant, use_rle: bool, gop: int,
+                                  merange: int, use_huffman: bool = True,
+                                  hist=None) -> bytes:
+    """Byte-OR splice of make_sharded_video_packed outputs into the final
+    wire stream (host cost O(stream bytes); the field tensors never leave
+    the devices).  When ``hist`` (the psum'd per-frame byte histograms) is
+    given, the Huffman code build consumes it directly — only boundary
+    bytes are counted on host."""
+    from ..models.headers import (VideoParams, write_image_header,
+                                  write_video_params)
+    from ..models.video import mvec_bits
+    from ..ops.huffman import huffman_encode, huffman_encode_with_hist
+    from .sharding import boundary_byte_histogram
+
+    mvw = np.asarray(mvw)
+    blw = np.asarray(blw)
+    blk_bits = np.asarray(blk_bits, dtype=np.int64)
+    f, s, _ = blw.shape
+    gop = max(1, gop)
+    mb = mvec_bits(merange)
+    n_mb_loc = (height // s // MACRO) * (width // MACRO)
+    mv_seg_bits = n_mb_loc * 2 * mb
+
+    writer = BitWriter()
+    if not use_huffman:
+        writer.put_bit(0)
+    write_image_header(writer, quant, use_rle, width, height)
+    write_video_params(writer, VideoParams(f, gop, merange))
+    header = writer.getvalue()
+    start_bit = writer.position
+
+    # Walk segments in wire order, OR-ing aligned words at their offsets.
+    seg_bits = []
+    base = start_bit
+    total = start_bit + sum(
+        (0 if fi % gop == 0 else s * mv_seg_bits) + int(blk_bits[fi].sum())
+        for fi in range(f))
+    out = np.zeros((total + 7) // 8 + 8, dtype=np.uint8)
+    out[:len(header)] = np.frombuffer(header, dtype=np.uint8)
+
+    def put(words_row, base, nb):
+        if nb:
+            seg = words_row.astype(">u4").view(np.uint8)
+            b0 = (base >> 5) * 4
+            n = ((base & 31) + nb + 7) // 8
+            out[b0:b0 + n] |= seg[:n]
+
+    for fi in range(f):
+        is_p = fi % gop != 0
+        for si in range(s):
+            nb = mv_seg_bits if is_p else 0
+            put(mvw[fi, si], base, nb)
+            seg_bits.append(nb)
+            base += nb
+        for si in range(s):
+            nb = int(blk_bits[fi, si])
+            put(blw[fi, si], base, nb)
+            seg_bits.append(nb)
+            base += nb
+    inner = out[:(total + 7) // 8].tobytes()
+
+    if not use_huffman:
+        return inner
+    if hist is None:
+        return huffman_encode(inner)
+    freqs = (np.asarray(hist)[:, :256].sum(axis=0).astype(np.int64)
+             + boundary_byte_histogram(inner, np.asarray(seg_bits),
+                                       start_bit))
+    return huffman_encode_with_hist(inner, freqs)

@@ -37,7 +37,7 @@ def quant():
 def test_sharded_fields_match_single_device(frames, quant):
     mesh = make_mesh(8)
     step = make_sharded_encode_step(mesh)
-    vals_s, nbits_s, base, hist = jax.block_until_ready(step(frames, quant))
+    vals_s, nbits_s, base = jax.block_until_ready(step(frames, quant))
 
     single = make_encode_fields_from_blocks(4, True, "reference")
     for f in range(frames.shape[0]):
@@ -51,7 +51,7 @@ def test_sharded_stream_assembly_bit_identical(frames, quant):
     mesh = make_mesh(8)
     s = mesh.shape["block"]
     step = make_sharded_encode_step(mesh)
-    vals, nbits, base, _ = jax.block_until_ready(step(frames, quant))
+    vals, nbits, base = jax.block_until_ready(step(frames, quant))
     vals, nbits, base = map(np.asarray, (vals, nbits, base))
 
     f = 0
@@ -70,13 +70,61 @@ def test_sharded_stream_assembly_bit_identical(frames, quant):
     assert np.packbits(bitbuf).tobytes() == serial
 
 
-def test_psum_histogram(frames, quant):
+def test_sharded_packed_stream_and_histogram(frames, quant):
+    """The packed sharded path: per-shard device packing, funnel alignment,
+    byte-OR splice, and the psum'd byte histogram — the collective is
+    CONSUMED by the Huffman build and must equal the exact stream
+    histogram once boundary bytes are added."""
+    import jax.numpy as jnp
+
+    from imageencoder_tpu.parallel import (assemble_packed_stream,
+                                           boundary_byte_histogram,
+                                           make_sharded_encode_packed)
+
     mesh = make_mesh(8)
-    step = make_sharded_encode_step(mesh)
-    vals, nbits, base, hist = jax.block_until_ready(step(frames, quant))
-    widths = np.asarray(vals)[:, :, 0].ravel()
-    expect = np.bincount(widths, minlength=17)[:17]
-    np.testing.assert_array_equal(np.asarray(hist), expect)
+    step = make_sharded_encode_packed(mesh, mode="concat")
+    start_bit = 37
+    words, bits, hist = jax.block_until_ready(
+        step(frames, quant, np.int32(start_bit)))
+
+    # Reference: serial pack of the full field stream at the same offset.
+    fields = make_encode_fields_from_blocks(4, True, "reference")
+    all_vals, all_nbits = [np.array([0])], [np.array([start_bit])]
+    for f in range(frames.shape[0]):
+        v1, n1 = fields(blockify(frames[f], 4), quant)
+        all_vals.append(np.asarray(v1).ravel())
+        all_nbits.append(np.asarray(n1).ravel())
+    serial, total = bitpack.pack_fields(
+        np.concatenate(all_vals).astype(np.int64),
+        np.concatenate(all_nbits).astype(np.int64))
+
+    header = b"\x00" * ((start_bit + 7) // 8)  # zero header region
+    inner, tbits = assemble_packed_stream(words, bits, start_bit, header,
+                                          mode="concat")
+    assert tbits == total
+    assert inner == serial
+
+    dev_hist = np.asarray(hist)[:, :256].sum(axis=0).astype(np.int64)
+    full = dev_hist + boundary_byte_histogram(inner, bits, start_bit)
+    expect = np.bincount(np.frombuffer(inner, np.uint8), minlength=256)
+    np.testing.assert_array_equal(full, expect)
+
+
+def test_sharded_image_batch_streams_decode(frames, quant):
+    """encode_sharded_image_batch: each image's stream decodes identically
+    to the single-device jax-backend stream."""
+    from imageencoder_tpu.models.image import encode_image
+    from imageencoder_tpu.parallel import encode_sharded_image_batch
+    from imageencoder_tpu.utils.quant import QuantMatrix
+
+    mesh = make_mesh(8)
+    qm = QuantMatrix(quant.astype(np.uint32))
+    streams = encode_sharded_image_batch(frames, qm, mesh, use_rle=True,
+                                         use_huffman=True)
+    for f in range(frames.shape[0]):
+        single = encode_image(frames[f], qm, use_rle=True, use_huffman=True,
+                              backend="jax")
+        assert streams[f] == single
 
 
 def test_mesh_factorization():

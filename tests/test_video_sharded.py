@@ -55,7 +55,7 @@ def test_sharded_video_step_matches_single_device():
 
     mesh = make_mesh(8, frame_axis=4)  # 4 frame chunks x 2 stripes of 64 rows
     step = make_sharded_video_step(mesh, GOP, MERANGE, mvec_bits(MERANGE))
-    mvals, bvals, bnbits, base, hist = jax.block_until_ready(
+    mvals, bvals, bnbits, base = jax.block_until_ready(
         step(jnp.asarray(frames), jnp.asarray(quant)))
     mvals, bvals, bnbits, base = map(np.asarray, (mvals, bvals, bnbits, base))
 
@@ -75,10 +75,6 @@ def test_sharded_video_step_matches_single_device():
         per_stripe = nbits.reshape(2, -1).sum(axis=1)
         np.testing.assert_array_equal(base[f], per_stripe)
 
-    widths = bvals[:, :, 0].ravel()
-    np.testing.assert_array_equal(np.asarray(hist),
-                                  np.bincount(widths, minlength=17)[:17])
-
 
 def test_sharded_video_step_large_motion():
     """Cross-stripe motion: content shifted by more than a stripe's guard."""
@@ -92,7 +88,7 @@ def test_sharded_video_step_large_motion():
     quant = np.full((4, 4), 5.0, dtype=np.float32)
     mesh = make_mesh(8, frame_axis=2)  # 2 chunks x 4 stripes of 32 rows
     step = make_sharded_video_step(mesh, GOP, MERANGE, mvec_bits(MERANGE))
-    mvals, bvals, bnbits, base, hist = jax.block_until_ready(
+    mvals, bvals, bnbits, base = jax.block_until_ready(
         step(jnp.asarray(frames), jnp.asarray(quant)))
 
     mv, vals, nbits = expected_frame_fields(f1, f0, False, quant)
@@ -111,7 +107,7 @@ def test_sharded_video_step_merange32():
     mesh = make_mesh(8, frame_axis=4)  # frames padded below to 4 chunks
     frames4 = np.concatenate([frames, frames])  # 4 frames over 4 chunks
     step = make_sharded_video_step(mesh, 4, 32, mvec_bits(32))
-    mvals, bvals, bnbits, base_o, hist = jax.block_until_ready(
+    mvals, bvals, bnbits, base_o = jax.block_until_ready(
         step(jnp.asarray(frames4), jnp.asarray(quant)))
 
     mv, vals, nbits = expected_frame_fields(frames4[1], frames4[0], False,
@@ -133,7 +129,7 @@ def test_sharded_step_assembles_to_identical_stream():
 
     mesh = make_mesh(8, frame_axis=4)
     step = make_sharded_video_step(mesh, GOP, MERANGE, mvec_bits(MERANGE))
-    mvals, bvals, bnbits, base, hist = jax.block_until_ready(
+    mvals, bvals, bnbits, base = jax.block_until_ready(
         step(jnp.asarray(frames), jnp.asarray(quant.as_float(np.float32))))
 
     for uh in (False, True):
@@ -145,3 +141,46 @@ def test_sharded_step_assembles_to_identical_stream():
         assert assembled == single, uh
     dec, params, _ = decode_video(assembled)
     assert params.frame_count == 4
+
+
+@pytest.mark.parametrize("ref_mode", ["raw", "recon"])
+@pytest.mark.parametrize("use_huffman", [False, True])
+def test_sharded_video_packed_stream(ref_mode, use_huffman):
+    """The PACKED sharded video path: on-device per-segment packing +
+    byte-OR splice + psum'd byte histogram must reproduce the
+    single-device jax stream byte-for-byte, in both reference modes."""
+    from imageencoder_tpu.models.video import encode_video
+    from imageencoder_tpu.parallel.video_sharding import (
+        assemble_sharded_video_packed, make_sharded_video_packed)
+    from imageencoder_tpu.utils.quant import QuantMatrix
+
+    quant = QuantMatrix.from_file("/root/reference/bin/matrix.txt")
+    data, _ = make_video(w=64, h=128, n=8, seed=33, smooth=False)
+    frames = split_yuv420(data, 64, 128)
+
+    mesh = make_mesh(8, frame_axis=2)  # 2 chunks x 4 frames (gop-aligned)
+    step = make_sharded_video_packed(mesh, GOP, MERANGE,
+                                     mvec_bits(MERANGE), ref_mode=ref_mode)
+    # start_bit must match the real video header for this geometry.
+    from imageencoder_tpu.models.headers import (VideoParams,
+                                                 write_image_header,
+                                                 write_video_params)
+    from imageencoder_tpu.ops.bitpack import BitWriter
+
+    wtr = BitWriter()
+    if not use_huffman:
+        wtr.put_bit(0)
+    write_image_header(wtr, quant, True, 64, 128)
+    write_video_params(wtr, VideoParams(8, GOP, MERANGE))
+
+    mvw, blw, blk_bits, hist = jax.block_until_ready(
+        step(jnp.asarray(frames),
+             jnp.asarray(quant.as_float(np.float32)),
+             np.int32(wtr.position)))
+    assembled = assemble_sharded_video_packed(
+        mvw, blw, blk_bits, 64, 128, quant, True, GOP, MERANGE,
+        use_huffman=use_huffman, hist=hist)
+    single = encode_video(data, 64, 128, quant, True, GOP, MERANGE,
+                          use_huffman=use_huffman, backend="jax",
+                          ref_mode=ref_mode)
+    assert assembled == single
