@@ -29,8 +29,10 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="imageencoder_tpu", description=__doc__)
     ap.add_argument("config", help="key=value settings file (reference schema)")
     ap.add_argument("--mode", choices=["encode", "decode", "both"], default="both")
-    ap.add_argument("--backend", choices=["numpy", "jax"], default="numpy",
-                    help="numpy = bit-parity float64; jax = TPU fast path")
+    ap.add_argument("--backend", choices=["numpy", "fast", "jax"],
+                    default="numpy",
+                    help="numpy = bit-parity float64; fast = host float32 "
+                         "BLAS (+-1 on ~0.003%% of pixels); jax = TPU path")
     ap.add_argument("--no-huffman", action="store_true",
                     help="disable the whole-stream Huffman pass")
     ap.add_argument("--ref-mode", choices=["raw", "recon"], default="raw",

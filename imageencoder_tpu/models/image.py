@@ -54,7 +54,14 @@ def encode_blocks(blocks_u8, quant: QuantMatrix, use_rle: bool,
         vals, nbits = fn(jnp.asarray(blocks_u8),
                          jnp.asarray(quant.as_float(np.float32)))
         return np.asarray(vals), np.asarray(nbits)
-    coeffs = forward_transform(np.asarray(blocks_u8), quant.as_float(), norm)
+    if backend == "fast":
+        from ..ops.dct import forward_transform_fast
+
+        coeffs = forward_transform_fast(np.asarray(blocks_u8),
+                                        quant.as_float(np.float32), norm)
+    else:
+        coeffs = forward_transform(np.asarray(blocks_u8), quant.as_float(),
+                                   norm)
     coeffs_zz = coeffs.reshape(coeffs.shape[0], b * b)[:, zz]
     stats = rle.block_stats(coeffs_zz, use_rle)
     return rle.block_fields(coeffs_zz, stats, use_rle)
@@ -204,6 +211,16 @@ def decode_blocks(bits: np.ndarray, start_bit: int, n_blocks: int,
         fn = make_decode_blocks_rowmajor(block_size, norm)
         px = fn(jnp.asarray(coeffs), jnp.asarray(quant.as_float(np.float32)))
         return np.asarray(px), end
+
+    if backend == "fast":
+        # Host f32 BLAS path: ~4x faster than the bit-parity f64 IDCT;
+        # +-1 on ~0.003% of pixels (docs/PARITY.md).
+        from ..ops.dct import inverse_transform_fast
+
+        px = inverse_transform_fast(coeffs, quant.as_float(np.float32), norm)
+        if residual:
+            return px.astype(np.float64), end
+        return clamp_to_u8(px), end
 
     if residual:
         if backend == "jax":

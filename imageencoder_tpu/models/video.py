@@ -89,7 +89,18 @@ def _residual_fields_and_recon(residual, pred, quant, use_rle, norm, backend):
     which encodes then immediately decodes each residual block.
     """
     blocks = blockify(residual, BLOCK_SIZE)
-    if backend == "jax":
+    if backend == "fast":
+        from ..ops.dct import forward_transform_fast, inverse_transform_fast
+
+        coeffs = forward_transform_fast(blocks, quant.as_float(np.float32),
+                                        norm)
+        zz = zigzag_order(BLOCK_SIZE)
+        czz = coeffs.reshape(coeffs.shape[0], -1)[:, zz]
+        stats = rle.block_stats(czz, use_rle)
+        vals, nbits = rle.block_fields(czz, stats, use_rle)
+        expanded = inverse_transform_fast(coeffs,
+                                          quant.as_float(np.float32), norm)
+    elif backend == "jax":
         import jax.numpy as jnp
 
         # Fast path: float32 transform on device.

@@ -213,6 +213,36 @@ def inverse_transform(coeffs, quant, norm: str = "reference", dtype=np.float64):
     return x + dtype(128.0)
 
 
+def forward_transform_fast(blocks_u8, quant, norm: str = "reference"):
+    """Host fast path: one [N, k] @ [k, k] float32 BLAS matmul per image.
+
+    Same math as the f32 device path — quantized coefficients may differ
+    from the f64 bit-parity path by +-1 on ~0.1% rounding ties; streams
+    stay decoder-compatible (docs/PARITY.md).
+    """
+    n = blocks_u8.shape[-1]
+    k = n * n
+    wf, scale = _fwd_weights(n, norm)
+    x = blocks_u8.reshape(-1, k).astype(np.float32) - np.float32(128.0)
+    y = (x @ wf.astype(np.float32)) * scale.astype(np.float32)[None, :]
+    q = round_half_away(y / np.asarray(quant, np.float32).reshape(1, k))
+    return q.astype(np.int32).reshape(-1, n, n)
+
+
+def inverse_transform_fast(coeffs, quant, norm: str = "reference"):
+    """Host fast inverse: dequant + IDCT as one float32 BLAS matmul.
+
+    Returns float32 [N, B, B] (128-offset restored, NOT clamped); decoded
+    pixels can differ +-1 from the bit-parity path on ~0.003% of pixels.
+    """
+    n = coeffs.shape[-1]
+    k = n * n
+    wi = _inv_weights(n, norm).astype(np.float32)
+    y = (coeffs.reshape(-1, k).astype(np.float32)
+         * np.asarray(quant, np.float32).reshape(1, k))
+    return (y @ wi + np.float32(128.0)).reshape(-1, n, n)
+
+
 def clamp_to_u8(x):
     """uint8(std::clamp(x, 0., 255.)) — C++ double->uint8 truncates (Block.cpp:100-107)."""
     xp, _ = _xp(x)

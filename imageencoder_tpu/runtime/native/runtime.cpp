@@ -102,14 +102,14 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
     int64_t pos = start_bit;
     int64_t n_out = 0;
     int32_t node = 0;
-    while (pos < nbits) {
+
+    // Bit-by-bit until byte alignment (matches the reference's walk,
+    // Huffman.cpp:376-383: invalid path resets to root).
+    while ((pos & 7) != 0 && pos < nbits) {
         const int bit = (data[pos >> 3] >> (7 - (pos & 7))) & 1;
         pos++;
         const int32_t nxt = child[node * 2 + bit];
-        if (nxt < 0) {
-            node = 0;  // invalid path: reset (cannot happen on valid streams)
-            continue;
-        }
+        if (nxt < 0) { node = 0; continue; }
         node = nxt;
         if (symbol[node] >= 0) {
             if (n_out >= out_cap) return -1;
@@ -117,7 +117,84 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
             node = 0;
         }
     }
-    return n_out;
+
+    // Byte-level FSM: T[state][byte] -> (next state, emitted symbols).
+    // States are tree node ids (<= 511 for a 256-symbol alphabet), so the
+    // table is a few MB and L2-resident.
+    const int n_nodes = (int)symbol.size();
+    std::vector<int32_t> nxt_tab((size_t)n_nodes * 256);
+    std::vector<uint8_t> cnt_tab((size_t)n_nodes * 256);
+    std::vector<uint8_t> sym_tab((size_t)n_nodes * 256 * 8);
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+    #endif
+    for (int st = 0; st < n_nodes; st++) {
+        for (int by = 0; by < 256; by++) {
+            int32_t nd = st;
+            int c = 0;
+            uint8_t* outs = &sym_tab[((size_t)st * 256 + by) * 8];
+            for (int k = 7; k >= 0; k--) {
+                const int bit = (by >> k) & 1;
+                const int32_t nx = child[nd * 2 + bit];
+                if (nx < 0) { nd = 0; continue; }
+                nd = nx;
+                if (symbol[nd] >= 0) {
+                    outs[c++] = (uint8_t)symbol[nd];
+                    nd = 0;
+                }
+            }
+            nxt_tab[(size_t)st * 256 + by] = nd;
+            cnt_tab[(size_t)st * 256 + by] = (uint8_t)c;
+        }
+    }
+
+    // Two-pass parallel decode over whole bytes.  Pass 1 (serial, cheap):
+    // carry only the state + output count to find every chunk's entry
+    // state and output offset — the wire format's one true dependency
+    // chain.  Pass 2: chunks emit symbols independently.
+    const int64_t first_byte = pos >> 3;
+    const int64_t n_in = nbytes - first_byte;
+    int n_chunks = 1;
+    #ifdef _OPENMP
+    n_chunks = omp_get_max_threads();
+    #endif
+    if (n_chunks > 1 && n_in < (int64_t)1 << 16) n_chunks = 1;
+    const int64_t per = (n_in + n_chunks - 1) / n_chunks;
+
+    std::vector<int32_t> entry_state(n_chunks);
+    std::vector<int64_t> entry_out(n_chunks);
+    int32_t st = node;
+    int64_t total = n_out;
+    for (int ci = 0; ci < n_chunks; ci++) {
+        entry_state[ci] = st;
+        entry_out[ci] = total;
+        const int64_t lo = first_byte + (int64_t)ci * per;
+        const int64_t hi = lo + per < nbytes ? lo + per : nbytes;
+        for (int64_t i = lo; i < hi; i++) {
+            const size_t idx = (size_t)st * 256 + data[i];
+            total += cnt_tab[idx];
+            st = nxt_tab[idx];
+        }
+    }
+    if (total > out_cap) return -1;
+
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+    #endif
+    for (int ci = 0; ci < n_chunks; ci++) {
+        int32_t s2 = entry_state[ci];
+        uint8_t* op = out + entry_out[ci];
+        const int64_t lo = first_byte + (int64_t)ci * per;
+        const int64_t hi = lo + per < nbytes ? lo + per : nbytes;
+        for (int64_t i = lo; i < hi; i++) {
+            const size_t idx = (size_t)s2 * 256 + data[i];
+            const int c = cnt_tab[idx];
+            const uint8_t* sy = &sym_tab[idx * 8];
+            for (int k = 0; k < c; k++) *op++ = sy[k];
+            s2 = nxt_tab[idx];
+        }
+    }
+    return total;
 }
 
 // Bit-exact replica of the reference's naive 2-D DCT accumulation

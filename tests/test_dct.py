@@ -122,3 +122,49 @@ def test_reference_norm_is_orthonormal_only_at_4():
     assert not np.allclose(d8 @ d8.T, np.eye(8))
     d8o = dct_matrix(8, "ortho")
     np.testing.assert_allclose(d8o @ d8o.T, np.eye(8), atol=1e-12)
+
+
+def test_fast_transforms_match_f32_semantics():
+    """The host 'fast' BLAS paths agree with the f64 parity path everywhere
+    except +-1 rounding ties, and round-trip through the wire format."""
+    import numpy as np
+
+    from imageencoder_tpu.ops.dct import (forward_transform,
+                                          forward_transform_fast,
+                                          inverse_transform,
+                                          inverse_transform_fast)
+
+    rng = np.random.default_rng(11)
+    blocks = rng.integers(0, 256, (500, 4, 4)).astype(np.uint8)
+    quant = np.full((4, 4), 7.0)
+    cf = forward_transform_fast(blocks, quant.astype(np.float32))
+    ce = forward_transform(blocks, quant)
+    assert np.abs(cf - ce).max() <= 1
+    assert (cf != ce).mean() < 0.01
+
+    xf = inverse_transform_fast(ce, quant.astype(np.float32))
+    xe = inverse_transform(ce, quant)
+    assert np.abs(xf - xe).max() < 0.51
+
+
+def test_decode_image_fast_backend():
+    import numpy as np
+
+    from imageencoder_tpu.models.image import decode_image, encode_image
+    from imageencoder_tpu.utils.quant import QuantMatrix
+
+    rng = np.random.default_rng(4)
+    img = np.kron(rng.integers(0, 256, (16, 16)),
+                  np.ones((4, 4))).astype(np.uint8)
+    quant = QuantMatrix.from_file("/root/reference/bin/matrix.txt")
+    enc = encode_image(img, quant, use_rle=True, use_huffman=True)
+    d_parity = decode_image(enc, backend="numpy")
+    d_fast = decode_image(enc, backend="fast")
+    diff = np.abs(d_parity.astype(int) - d_fast.astype(int))
+    assert diff.max() <= 1 and (diff > 0).mean() < 0.01
+
+    # fast-backend encode round-trips too
+    enc_f = encode_image(img, quant, use_rle=True, use_huffman=True,
+                         backend="fast")
+    d2 = decode_image(enc_f, backend="fast")
+    assert d2.shape == img.shape
