@@ -101,7 +101,8 @@ def _run(c, mode, args, use_huffman) -> int:
         return 0
 
     if mode == "video-encode":
-        quant = QuantMatrix.from_file(c.get("quantfile"))
+        quant = QuantMatrix.from_file(c.get("quantfile"),
+                                      size=args.block_size)
         t0 = time.perf_counter()
         if args.mode == "decode":
             pass  # decode-only run on an encoder-schema config
@@ -127,7 +128,8 @@ def _run(c, mode, args, use_huffman) -> int:
                                bool(int(c.get("rle"))), quant,
                                int(c.get("gop")), int(c.get("merange")),
                                use_huffman=use_huffman, backend=args.backend,
-                               ref_mode=args.ref_mode)
+                               ref_mode=args.ref_mode, norm=args.norm,
+                               block_size=args.block_size)
             enc.process()
             enc.save_result()
         if args.mode != "decode":
@@ -135,7 +137,8 @@ def _run(c, mode, args, use_huffman) -> int:
         if "decfile" in c.values and args.mode in ("decode", "both"):
             dec = VideoDecoder(c.get("encfile"), c.get("decfile"),
                                motioncomp=bool(int(c.get("motioncompensation", "1"))),
-                               backend=args.backend, workers=args.workers)
+                               backend=args.backend, workers=args.workers,
+                               norm=args.norm, block_size=args.block_size)
             dec.process()
             dec.save_result()
         elif args.mode == "decode":
@@ -154,7 +157,8 @@ def _run(c, mode, args, use_huffman) -> int:
     t0 = time.perf_counter()
     dec = VideoDecoder(c.get("encfile"), c.get("decfile"),
                        motioncomp=bool(int(c.get("motioncompensation"))),
-                       backend=args.backend, workers=args.workers)
+                       backend=args.backend, workers=args.workers,
+                       norm=args.norm, block_size=args.block_size)
     dec.process()
     dec.save_result()
     Logger.write(f"Elapsed time: {1e3 * (time.perf_counter() - t0):.3f} ms")

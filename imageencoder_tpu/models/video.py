@@ -74,13 +74,15 @@ def split_yuv420(data: bytes, width: int, height: int):
     return arr[:, :y_size].reshape(n, height, width).copy()
 
 
-def _frame_fields(frame_u8, quant, use_rle, norm, backend):
-    """Encode one frame's 4x4 blocks to (vals, nbits) wire fields."""
-    return encode_blocks(blockify(frame_u8, BLOCK_SIZE), quant, use_rle,
+def _frame_fields(frame_u8, quant, use_rle, norm, backend,
+                  block_size=BLOCK_SIZE):
+    """Encode one frame's blocks to (vals, nbits) wire fields."""
+    return encode_blocks(blockify(frame_u8, block_size), quant, use_rle,
                          norm=norm, backend=backend)
 
 
-def _residual_fields_and_recon(residual, pred, quant, use_rle, norm, backend):
+def _residual_fields_and_recon(residual, pred, quant, use_rle, norm, backend,
+                               block_size=BLOCK_SIZE):
     """Encode a residual image and return (vals, nbits, reconstructed frame).
 
     residual: [H,W] float64 (cur - pred); pred: [H,W] uint8.
@@ -88,13 +90,13 @@ def _residual_fields_and_recon(residual, pred, quant, use_rle, norm, backend):
     mirroring copyMacroblockToMatchingMicroblocks (ImageBase.cpp:266-306)
     which encodes then immediately decodes each residual block.
     """
-    blocks = blockify(residual, BLOCK_SIZE)
+    blocks = blockify(residual, block_size)
     if backend == "fast":
         from ..ops.dct import forward_transform_fast, inverse_transform_fast
 
         coeffs = forward_transform_fast(blocks, quant.as_float(np.float32),
                                         norm)
-        zz = zigzag_order(BLOCK_SIZE)
+        zz = zigzag_order(block_size)
         czz = coeffs.reshape(coeffs.shape[0], -1)[:, zz]
         stats = rle.block_stats(czz, use_rle)
         vals, nbits = rle.block_fields(czz, stats, use_rle)
@@ -106,7 +108,7 @@ def _residual_fields_and_recon(residual, pred, quant, use_rle, norm, backend):
         # Fast path: float32 transform on device.
         coeffs = forward_transform(jnp.asarray(blocks), quant.as_float(np.float32),
                                    norm, dtype=jnp.float32)
-        zz = zigzag_order(BLOCK_SIZE)
+        zz = zigzag_order(block_size)
         czz = np.asarray(coeffs).reshape(coeffs.shape[0], -1)[:, zz]
         stats = rle.block_stats(czz, use_rle)
         vals, nbits = rle.block_fields(czz, stats, use_rle)
@@ -115,7 +117,7 @@ def _residual_fields_and_recon(residual, pred, quant, use_rle, norm, backend):
             dtype=jnp.float32))
     else:
         coeffs = forward_transform(blocks, quant.as_float(), norm)
-        zz = zigzag_order(BLOCK_SIZE)
+        zz = zigzag_order(block_size)
         czz = coeffs.reshape(coeffs.shape[0], -1)[:, zz]
         stats = rle.block_stats(czz, use_rle)
         vals, nbits = rle.block_fields(czz, stats, use_rle)
@@ -130,7 +132,8 @@ def _residual_fields_and_recon(residual, pred, quant, use_rle, norm, backend):
 def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
                  use_rle: bool, gop: int, merange: int,
                  use_huffman: bool = True, norm: str = "reference",
-                 backend: str = "numpy", ref_mode: str = "raw") -> bytes:
+                 backend: str = "numpy", ref_mode: str = "raw",
+                 block_size: int = BLOCK_SIZE) -> bytes:
     """Encode a YUV420p byte stream to the reference video wire format.
 
     ref_mode selects the motion-reference policy:
@@ -148,7 +151,8 @@ def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
         more closely, so this mode decodes at higher PSNR; streams remain
         format-compatible either way (the wire carries no reference state).
     """
-    assert width % BLOCK_SIZE == 0 and height % BLOCK_SIZE == 0
+    assert width % block_size == 0 and height % block_size == 0
+    assert MACRO % block_size == 0, block_size
     gop = max(1, gop)
     if width % MACRO or height % MACRO:
         # The reference only asserts %4 (VideoEncoder.cpp:13-14) but its
@@ -201,7 +205,7 @@ def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
                    else make_encode_video_packed_recon)
         quant_f = jnp.asarray(quant.as_float(np.float32))
         if n_frames <= 32:
-            fn = factory(gop, merange, mb, BLOCK_SIZE, use_rle, norm,
+            fn = factory(gop, merange, mb, block_size, use_rle, norm,
                          with_hist=use_huffman)
             out = fn(jnp.asarray(frames), quant_f,
                      np.int32(writer.position),
@@ -220,7 +224,7 @@ def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
         segments = [(writer.getvalue(), writer.position)]
         for s in range(0, n_frames, chunk):
             part = frames[s:s + chunk]
-            fnc = factory(gop, merange, mb, BLOCK_SIZE, use_rle, norm,
+            fnc = factory(gop, merange, mb, block_size, use_rle, norm,
                           with_hist=False)
             words, total = fnc(jnp.asarray(part), quant_f, np.int32(0),
                                zeros_hdr)
@@ -240,14 +244,15 @@ def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
         Logger.progress(f + 1, n_frames)
         cur = frames[f]
         if f % gop == 0:
-            vals, nbits = _frame_fields(cur, quant, use_rle, norm, backend)
+            vals, nbits = _frame_fields(cur, quant, use_rle, norm, backend,
+                                        block_size)
             ref = cur  # never reconstructed (Frame.cpp:130-159) — raw
         else:
             mvec, _ = find_motion(cur, ref, merange)
             pred = predict_image(ref, mvec, height, width)
             residual = cur.astype(np.float64) - pred.astype(np.float64)
             vals, nbits, recon = _residual_fields_and_recon(
-                residual, pred, quant, use_rle, norm, backend)
+                residual, pred, quant, use_rle, norm, backend, block_size)
             # All mvecs first (Frame.cpp:210-229), masked to MVEC_BITS.
             mask = (1 << mb) - 1
             mv = np.empty(mvec.shape[0] * 2, dtype=np.int64)
@@ -270,7 +275,7 @@ def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
 
 def decode_video(data: bytes, motioncomp: bool = True,
                  norm: str = "reference", backend: str = "numpy",
-                 workers: int = 0):
+                 workers: int = 0, block_size: int = BLOCK_SIZE):
     """Decode a video stream. Returns (yuv420 bytes, VideoParams, (w, h)).
 
     workers > 1 decodes GOPs in a thread pool: the stream walk is serial
@@ -291,10 +296,10 @@ def decode_video(data: bytes, motioncomp: bool = True,
     else:
         reader = BitReader(bits, position=1)
 
-    quant, use_rle, width, height = read_image_header(reader, BLOCK_SIZE)
+    quant, use_rle, width, height = read_image_header(reader, block_size)
     params = read_video_params(reader)
     mb = mvec_bits(params.merange)
-    n_micro = (width // BLOCK_SIZE) * (height // BLOCK_SIZE)
+    n_micro = (width // block_size) * (height // block_size)
     n_macro = (width // MACRO) * (height // MACRO)
     y_size = width * height
     uv = np.full(y_size // 2, UV_FILL, dtype=np.uint8)
@@ -316,7 +321,7 @@ def decode_video(data: bytes, motioncomp: bool = True,
             pos = int(offs[-1] + mb)
         start = pos
         *_, pos = walk_block_offsets(reader.bits, pos, n_micro, use_rle,
-                                     packed=packed)
+                                     block_size=block_size, packed=packed)
         parsed.append((mv, start))
 
     def decode_frame(f, ref):
@@ -324,12 +329,13 @@ def decode_video(data: bytes, motioncomp: bool = True,
         if mv is None:
             blocks, _ = decode_blocks(reader.bits, start, n_micro, quant,
                                       use_rle, norm=norm, backend=backend,
-                                      packed=packed)
+                                      block_size=block_size, packed=packed)
             return deblockify(blocks, height, width)
         pred = predict_image(ref, mv, height, width)
         blocks, _ = decode_blocks(reader.bits, start, n_micro, quant,
                                   use_rle, norm=norm, backend=backend,
-                                  residual=True, packed=packed)
+                                  block_size=block_size, residual=True,
+                                  packed=packed)
         if motioncomp:
             expanded = deblockify(blocks, height, width)
             return clamp_to_u8(pred.astype(np.float64) + expanded)
@@ -379,6 +385,8 @@ class VideoEncoder:
     use_huffman: bool = True
     backend: str = "numpy"
     ref_mode: str = "raw"
+    norm: str = "reference"
+    block_size: int = BLOCK_SIZE
 
     def process(self) -> bool:
         with open(self.source_file, "rb") as f:
@@ -388,8 +396,9 @@ class VideoEncoder:
         self._result = encode_video(data, self.width, self.height, self.quant,
                                     self.use_rle, self.gop, self.merange,
                                     use_huffman=self.use_huffman,
-                                    backend=self.backend,
-                                    ref_mode=self.ref_mode)
+                                    norm=self.norm, backend=self.backend,
+                                    ref_mode=self.ref_mode,
+                                    block_size=self.block_size)
         return True
 
     def save_result(self) -> None:
@@ -408,14 +417,17 @@ class VideoDecoder:
     motioncomp: bool = True
     backend: str = "numpy"
     workers: int = 0  # > 1: GOP-parallel decode (GOPs are independent)
+    norm: str = "reference"
+    block_size: int = BLOCK_SIZE
 
     def process(self) -> bool:
         with open(self.source_file, "rb") as f:
             data = f.read()
         Logger.write("[VideoDecoder] Processing video...")
         self._result, self._params, _ = decode_video(
-            data, motioncomp=self.motioncomp, backend=self.backend,
-            workers=self.workers)
+            data, motioncomp=self.motioncomp, norm=self.norm,
+            backend=self.backend, workers=self.workers,
+            block_size=self.block_size)
         return True
 
     def save_result(self) -> None:

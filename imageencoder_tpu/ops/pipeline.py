@@ -39,13 +39,42 @@ def _round_half_away(xp, x):
     return t + inc
 
 
+def quantize_image(img, quant, dct_m, block_size: int):
+    """[H,W] u8/f32 -> int32 [H,W] quantized coefficients in place
+    (block (r,c) coefficient (u,v) at [B*r+u, B*c+v]).
+
+    THE transform implementation for every pipeline (single-image, video,
+    sharded): the fused Pallas kernel on TPU (bit-identical to the einsum
+    at HIGHEST precision, kept in VMEM), the einsum elsewhere.  Accepts
+    float32 input for residual images (the -128 bias applies to residuals
+    too, Block.cpp:139-153 under SUBTRACT_128).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    b = block_size
+    h, w = img.shape
+
+    if jax.default_backend() == "tpu":
+        from .pallas_kernels import dct_quantize
+
+        return dct_quantize(img, quant, dct_m, b)
+
+    by, bx = h // b, w // b
+    blocks = img.reshape(by, b, bx, b).swapaxes(1, 2).reshape(-1, b, b)
+    x = blocks.astype(jnp.float32) - jnp.float32(128.0)
+    y = jnp.einsum("ui,nij,vj->nuv", dct_m, x, dct_m,
+                   precision=jax.lax.Precision.HIGHEST)
+    q = _round_half_away(jnp, y / quant.astype(jnp.float32)).astype(jnp.int32)
+    return q.reshape(by, bx, b, b).swapaxes(1, 2).reshape(h, w)
+
+
 def transform_quantize(img, quant, dct_m, block_size: int):
     """[H,W] u8 -> [N,K] int32 zig-zag quantized coefficients (one fused graph).
 
     Reference per-block equivalent: Block::processDCTDivQ (Block.cpp:139-153)
     + zig-zag gather (algo.cpp:68-87).
     """
-    import jax
     import jax.numpy as jnp
 
     b = block_size
@@ -53,22 +82,8 @@ def transform_quantize(img, quant, dct_m, block_size: int):
     by, bx = h // b, w // b
     n = by * bx
     zz = jnp.asarray(zigzag_order(b))
-
-    if jax.default_backend() == "tpu":
-        # Fused Pallas kernel (bit-identical to the einsum path at HIGHEST
-        # precision; keeps the whole transform in VMEM).
-        from .pallas_kernels import dct_quantize
-
-        c = dct_quantize(img, quant, dct_m, b)
-        coeffs = c.reshape(by, b, bx, b).swapaxes(1, 2).reshape(n, b * b)
-        return coeffs[:, zz]
-
-    blocks = img.reshape(by, b, bx, b).swapaxes(1, 2).reshape(n, b, b)
-    x = blocks.astype(jnp.float32) - jnp.float32(128.0)
-    y = jnp.einsum("ui,nij,vj->nuv", dct_m, x, dct_m,
-                   precision=jax.lax.Precision.HIGHEST)
-    q = _round_half_away(jnp, y / quant.astype(jnp.float32))
-    coeffs = q.astype(jnp.int32).reshape(n, b * b)
+    c = quantize_image(img, quant, dct_m, b)
+    coeffs = c.reshape(by, b, bx, b).swapaxes(1, 2).reshape(n, b * b)
     return coeffs[:, zz]
 
 

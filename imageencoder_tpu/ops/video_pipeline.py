@@ -251,11 +251,11 @@ def make_encode_video_packed_recon(gop: int, merange: int, mvec_nbits: int,
 
             x = jnp.where(i_frame, cur.astype(jnp.float32),
                           cur.astype(jnp.float32) - pred.astype(jnp.float32))
-            blocks = x.reshape(by_, b, bx_, b).swapaxes(1, 2)
-            blocks = blocks.reshape(n_micro, b, b) - jnp.float32(128.0)
-            y = jnp.einsum("ui,nij,vj->nuv", d, blocks, d,
-                           precision=jax.lax.Precision.HIGHEST)
-            q = _round_half_away(jnp, y / qf).astype(jnp.int32)
+            from .pipeline import quantize_image
+
+            qimg = quantize_image(x, quant, d, b)       # [h, w] int32
+            q = qimg.reshape(by_, b, bx_, b).swapaxes(1, 2) \
+                    .reshape(n_micro, b, b)
             coeffs_zz = q.reshape(n_micro, k)[:, jnp.asarray(zz)]
             vals, nbits = fields_from_coeffs(coeffs_zz, use_rle)
 
@@ -341,14 +341,13 @@ def make_encode_video_packed(gop: int, merange: int, mvec_nbits: int,
         x = jnp.where(jnp.asarray(is_i)[:, None, None],
                       frames.astype(jnp.float32),
                       frames.astype(jnp.float32) - pred.astype(jnp.float32))
-        by_, bx_ = h // b, w // b
-        blocks = x.reshape(f, by_, b, bx_, b).swapaxes(2, 3)
-        blocks = blocks.reshape(f * by_ * bx_, b, b) - jnp.float32(128.0)
-        d = jnp.asarray(dct_m)
-        y = jnp.einsum("ui,nij,vj->nuv", d, blocks, d,
-                       precision=jax.lax.Precision.HIGHEST)
-        q = _round_half_away(jnp, y / quant.astype(jnp.float32)).astype(jnp.int32)
-        coeffs_zz = q.reshape(-1, k)[:, jnp.asarray(zz)]
+        # One transform implementation everywhere (ops/pipeline.py —
+        # Pallas kernel on TPU): stacking frames vertically preserves
+        # every block row, so the whole video is one call.
+        from .pipeline import transform_quantize
+
+        coeffs_zz = transform_quantize(x.reshape(f * h, w), quant,
+                                       jnp.asarray(dct_m), b)
         bvals, bnbits = fields_from_coeffs(coeffs_zz, use_rle)  # [F*Nmicro, k+2]
         bvals = bvals.reshape(f, n_micro, k + 2)
         bnbits = bnbits.reshape(f, n_micro, k + 2)

@@ -29,7 +29,8 @@ from __future__ import annotations
 import numpy as np
 
 from ..ops.dct import dct_matrix
-from ..ops.pipeline import fields_from_coeffs, _round_half_away
+from ..ops.pipeline import (fields_from_coeffs, _round_half_away,
+                            transform_quantize)
 from ..ops.zigzag import zigzag_order
 
 
@@ -61,14 +62,11 @@ def make_sharded_encode_step(mesh, block_size: int = 4, use_rle: bool = True,
         f_loc, h_loc, w = frames.shape
         by, bx = h_loc // b, w // b
         n_loc = by * bx
-        blocks = frames.reshape(f_loc, by, b, bx, b).swapaxes(2, 3)
-        blocks = blocks.reshape(f_loc * n_loc, b, b)
-        x = blocks.astype(jnp.float32) - jnp.float32(128.0)
-        d = jnp.asarray(dct_m)
-        y = jnp.einsum("ui,nij,vj->nuv", d, x, d,
-                       precision=jax.lax.Precision.HIGHEST)
-        q = _round_half_away(jnp, y / quant.astype(jnp.float32)).astype(jnp.int32)
-        coeffs_zz = q.reshape(-1, b * b)[:, jnp.asarray(zz)]
+        # One transform implementation everywhere: stacking the local
+        # frames vertically preserves every block row, so the whole shard
+        # is a single transform_quantize call (Pallas kernel on TPU).
+        coeffs_zz = transform_quantize(
+            frames.reshape(f_loc * h_loc, w), quant, jnp.asarray(dct_m), b)
         vals, nbits = fields_from_coeffs(coeffs_zz, use_rle)
         vals = vals.reshape(f_loc, n_loc, -1)
         nbits = nbits.reshape(f_loc, n_loc, -1)
@@ -159,14 +157,11 @@ def make_sharded_encode_packed(mesh, block_size: int = 4, use_rle: bool = True,
         k2 = b * b + 2
         lw = local_words(k2)
         wloc = n_loc * lw + 2
-        blocks = frames.reshape(f_loc, by, b, bx, b).swapaxes(2, 3)
-        blocks = blocks.reshape(f_loc * n_loc, b, b)
-        x = blocks.astype(jnp.float32) - jnp.float32(128.0)
-        d = jnp.asarray(dct_m)
-        y = jnp.einsum("ui,nij,vj->nuv", d, x, d,
-                       precision=jax.lax.Precision.HIGHEST)
-        q = _round_half_away(jnp, y / quant.astype(jnp.float32)).astype(jnp.int32)
-        coeffs_zz = q.reshape(-1, b * b)[:, jnp.asarray(zz)]
+        # One transform implementation everywhere: stacking the local
+        # frames vertically preserves every block row, so the whole shard
+        # is a single transform_quantize call (Pallas kernel on TPU).
+        coeffs_zz = transform_quantize(
+            frames.reshape(f_loc * h_loc, w), quant, jnp.asarray(dct_m), b)
         vals, nbits = fields_from_coeffs(coeffs_zz, use_rle)
         vals = vals.reshape(f_loc, n_loc, k2)
         nbits = nbits.reshape(f_loc, n_loc, k2)

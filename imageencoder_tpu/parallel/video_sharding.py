@@ -225,13 +225,10 @@ def make_sharded_video_step(mesh, gop: int, merange: int, mvec_nbits: int,
                       frames.astype(jnp.float32) - pred.astype(jnp.float32))
         mby, mbx = h_loc // b, w // b
         n_micro = mby * mbx
-        blocks = x.reshape(f_loc, mby, b, mbx, b).swapaxes(2, 3)
-        blocks = blocks.reshape(f_loc * n_micro, b, b) - jnp.float32(128.0)
-        d = jnp.asarray(dct_m)
-        y = jnp.einsum("ui,nij,vj->nuv", d, blocks, d,
-                       precision=jax.lax.Precision.HIGHEST)
-        q = _round_half_away(jnp, y / quant.astype(jnp.float32)).astype(jnp.int32)
-        coeffs_zz = q.reshape(-1, k)[:, jnp.asarray(zz)]
+        from ..ops.pipeline import transform_quantize
+
+        coeffs_zz = transform_quantize(x.reshape(f_loc * h_loc, w), quant,
+                                       jnp.asarray(dct_m), b)
         bvals, bnbits = fields_from_coeffs(coeffs_zz, use_rle)
         bvals = bvals.reshape(f_loc, n_micro, k + 2)
         bnbits = bnbits.reshape(f_loc, n_micro, k + 2)
@@ -413,11 +410,11 @@ def make_sharded_video_packed(mesh, gop: int, merange: int, mvec_nbits: int,
             x = jnp.where(i_frame, cur.astype(jnp.float32),
                           cur.astype(jnp.float32)
                           - pred.astype(jnp.float32))
-            blocks = x.reshape(mby, b, mbx, b).swapaxes(1, 2)
-            blocks = blocks.reshape(n_micro, b, b) - jnp.float32(128.0)
-            y = jnp.einsum("ui,nij,vj->nuv", d, blocks, d,
-                           precision=jax.lax.Precision.HIGHEST)
-            q = _round_half_away(jnp, y / qf).astype(jnp.int32)
+            from ..ops.pipeline import quantize_image
+
+            qimg = quantize_image(x, quant, d, b)       # [h_loc, w] int32
+            q = qimg.reshape(mby, b, mbx, b).swapaxes(1, 2) \
+                    .reshape(n_micro, b, b)
             coeffs_zz = q.reshape(n_micro, k)[:, jnp.asarray(zz)]
             vals, nbits = fields_from_coeffs(coeffs_zz, use_rle)
 
