@@ -203,13 +203,20 @@ def decode_blocks(bits: np.ndarray, start_bit: int, n_blocks: int,
         flat[:, zz] = coeffs_zz
         coeffs = flat.reshape(n_blocks, block_size, block_size)
 
-    if backend == "jax" and not residual:
+    if backend == "jax":
+        # Fully on-device inverse half (incl. the residual path — round 1
+        # left P-frame residuals on host because per-frame dispatch costs
+        # more than the GEMM on a tunneled link; on production hardware the
+        # device is the right place, and backend="fast" now covers
+        # host-optimal runs).
         import jax.numpy as jnp
 
         from ..ops.pipeline import make_decode_blocks_rowmajor
 
-        fn = make_decode_blocks_rowmajor(block_size, norm)
+        fn = make_decode_blocks_rowmajor(block_size, norm, residual)
         px = fn(jnp.asarray(coeffs), jnp.asarray(quant.as_float(np.float32)))
+        if residual:
+            return np.asarray(px).astype(np.float64), end
         return np.asarray(px), end
 
     if backend == "fast":
@@ -223,13 +230,6 @@ def decode_blocks(bits: np.ndarray, start_bit: int, n_blocks: int,
         return clamp_to_u8(px), end
 
     if residual:
-        if backend == "jax":
-            # Host float32 matmul: per-frame device round-trips cost more
-            # in dispatch latency than this 2x batched GEMM computes.
-            px = inverse_transform(np.asarray(coeffs),
-                                   quant.as_float(np.float32), norm,
-                                   dtype=np.float32)
-            return px.astype(np.float64), end
         return inverse_transform(coeffs, quant.as_float(), norm), end
 
     px = inverse_transform(coeffs, quant.as_float(), norm)

@@ -233,9 +233,13 @@ def make_encode_packed(block_size: int = 4, use_rle: bool = True,
 
 
 @lru_cache(maxsize=None)
-def make_decode_blocks_rowmajor(block_size: int = 4, norm: str = "reference"):
+def make_decode_blocks_rowmajor(block_size: int = 4, norm: str = "reference",
+                                residual: bool = False):
     """Jitted decode half over ROW-MAJOR coefficients [N,B,B] (the native
-    extractor un-zigzags already): dequant + IDCT + clamp -> [N,B,B] u8."""
+    extractor un-zigzags already): dequant + IDCT -> clamped [N,B,B] u8,
+    or the unclamped float32 expansion when residual=True (the P-frame
+    path adds it onto the motion prediction before clamping,
+    Frame.cpp:107-117)."""
     import jax
     import jax.numpy as jnp
 
@@ -249,6 +253,8 @@ def make_decode_blocks_rowmajor(block_size: int = 4, norm: str = "reference"):
         x = jnp.einsum("ui,nuv,vj->nij", d, y, d,
                        precision=jax.lax.Precision.HIGHEST)
         px = x + jnp.float32(128.0)
+        if residual:
+            return px
         return jnp.floor(jnp.clip(px, 0.0, 255.0)).astype(jnp.uint8)
 
     return decode_blocks
