@@ -57,14 +57,54 @@ log("video jax chunked 36f: %d B, frames %d, len ok %s" % (len(encc), pc.frame_c
 streams = encode_image_batch(np.stack([img, np.roll(img, 5, 1)]), q, True)
 log("batch:", [len(s) for s in streams])
 
-# 5. sharded steps on 1-device TPU mesh
-from imageencoder_tpu.parallel import make_mesh, make_sharded_encode_step, make_sharded_video_step
+# 5. sharded steps on 1-device TPU mesh (fields + packed variants)
+from imageencoder_tpu.parallel import (assemble_packed_stream, make_mesh,
+                                       make_sharded_encode_packed,
+                                       make_sharded_encode_step)
+from imageencoder_tpu.parallel.video_sharding import (
+    assemble_sharded_video_packed, make_sharded_video_packed,
+    make_sharded_video_step)
 from imageencoder_tpu.models.video import mvec_bits
 mesh = make_mesh(1)
 st = make_sharded_encode_step(mesh)
-v, nb, base, hist = jax.block_until_ready(st(np.stack(frames[:2]), np.asarray(q.as_float(np.float32))))
-log("sharded image step on TPU mesh(1):", v.shape, int(np.asarray(hist).sum()))
+v, nb, base = jax.block_until_ready(st(np.stack(frames[:2]), np.asarray(q.as_float(np.float32))))
+log("sharded image step on TPU mesh(1):", v.shape)
+pst = make_sharded_encode_packed(mesh, mode="concat")
+pw, pb, ph = jax.block_until_ready(pst(np.stack(frames[:2]),
+                                       np.asarray(q.as_float(np.float32)),
+                                       np.int32(16)))
+inner, tb = assemble_packed_stream(pw, pb, 16, b"\x00\x00", mode="concat")
+from imageencoder_tpu.ops import bitpack
+serial, stot = bitpack.pack_fields(
+    np.concatenate([[0], np.asarray(v).ravel()]),
+    np.concatenate([[16], np.asarray(nb).ravel()]))
+log("sharded PACKED image on TPU mesh(1): splice==serial", inner == serial)
+assert inner == serial
 vst = make_sharded_video_step(mesh, 4, 16, mvec_bits(16))
-mv, bv, bn, b2, h2 = jax.block_until_ready(vst(np.stack(frames[:1]), np.asarray(q.as_float(np.float32))))
+mv, bv, bn, b2 = jax.block_until_ready(vst(np.stack(frames[:1]), np.asarray(q.as_float(np.float32))))
 log("sharded video step on TPU mesh(1):", bv.shape)
+for mode in ("raw", "recon"):
+    vps = make_sharded_video_packed(mesh, 4, 16, mvec_bits(16), ref_mode=mode)
+    from imageencoder_tpu.models.headers import (VideoParams,
+                                                 write_image_header,
+                                                 write_video_params)
+    from imageencoder_tpu.ops.bitpack import BitWriter
+    wtr = BitWriter()
+    write_image_header(wtr, q, True, 128, 128)
+    write_video_params(wtr, VideoParams(4, 4, 16))
+    mvw, blw, bb, vh = jax.block_until_ready(
+        vps(np.stack(frames[:4]), np.asarray(q.as_float(np.float32)),
+            np.int32(wtr.position)))
+    stream = assemble_sharded_video_packed(mvw, blw, bb, 128, 128, q, True,
+                                           4, 16, use_huffman=True, hist=vh)
+    single = encode_video(data[: 4*(128*128*3//2)], 128, 128, q, True, 4, 16,
+                          use_huffman=True, backend='jax', ref_mode=mode)
+    log("sharded PACKED video %s on TPU mesh(1): == single-device %s"
+        % (mode, stream == single))
+    assert stream == single
+
+# 6. fast host backend sanity
+ef = encode_image(img, q, True, use_huffman=True, backend='fast')
+dfast = decode_image(ef, backend='fast')
+log("fast host backend:", len(ef), dfast.shape == img.shape)
 log("ALL TPU SMOKE OK")
