@@ -43,6 +43,10 @@ def bit_length(x):
     """
     xp = _mod(x)
     x = xp.asarray(x)
+    if xp is np:
+        # frexp exponent == bit_length for positive integers (exact for
+        # |x| < 2**53); one pass instead of 16 compare passes.
+        return np.frexp(x.astype(np.float64))[1].astype(np.int32)
     total = xp.zeros(x.shape, dtype=xp.int32)
     for k in range(16):
         total = total + (x >= (1 << k)).astype(xp.int32)
