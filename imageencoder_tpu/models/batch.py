@@ -49,24 +49,37 @@ def _make_batch_encode(block_size: int, use_rle: bool, norm: str):
 
         vals, nbits = jax.vmap(one)(imgs)  # [B, N, K+2]
 
-        # Segmented pack: image s's region starts at word boundary
-        # seg_word_start[s]; records inside start after the header bits.
+        # Segmented pack expressed in the DENSE record layout (so the fast
+        # Pallas packer applies): per image, a zero-valued GAP record of
+        # hdr_bits leads the region (the host ORs the shared header bytes
+        # into it) and a zero-valued PAD record tail-aligns the region to a
+        # word boundary.  Pseudo-record widths are split into <=16-bit
+        # fields (the packer's field-width contract).
+        f = k + 2
         rec_bits = jnp.sum(nbits, axis=(1, 2))  # [B]
         seg_bits = rec_bits + hdr_bits
         seg_words = (seg_bits + 31) // 32
         seg_word_start = jnp.cumsum(seg_words) - seg_words  # [B] exclusive
 
-        seg_base_bits = seg_word_start * 32 + hdr_bits  # [B]
-        # Per-record absolute starts: segment base + intra-segment cumsum.
-        rec_each = jnp.sum(nbits, axis=2)  # [B, N]
-        intra = jnp.cumsum(rec_each, axis=1) - rec_each  # [B, N]
-        starts = (seg_base_bits[:, None] + intra).reshape(bsz * n)
+        def split16(total, nf):
+            # total bits -> [B, nf] widths of <=16 each (sum == total)
+            rem = total[:, None] - 16 * jnp.arange(nf)[None, :]
+            return jnp.clip(rem, 0, 16).astype(jnp.int32)
 
-        flat_vals = vals.reshape(bsz * n, k + 2)
-        flat_nbits = nbits.reshape(bsz * n, k + 2)
-        n_words = int(bsz) * packed_words_bound(n, k + 2)
+        # 2 gap records always hold a header: hdr <= 16k+37 < 2*(16k+32).
+        gap_n = split16(jnp.full((bsz,), hdr_bits), 2 * f).reshape(bsz, 2, f)
+        pad_bits = seg_words * 32 - seg_bits  # <= 31 bits, 1 record
+        pad_n = split16(pad_bits, f)[:, None, :]
+        zero2 = jnp.zeros((bsz, 2, f), jnp.int32)
+        zero1 = jnp.zeros((bsz, 1, f), jnp.int32)
+
+        flat_vals = jnp.concatenate(
+            [zero2, vals, zero1], axis=1).reshape(bsz * (n + 3), f)
+        flat_nbits = jnp.concatenate(
+            [gap_n, nbits, pad_n], axis=1).reshape(bsz * (n + 3), f)
+        n_words = int(bsz) * packed_words_bound(n + 3, f)
         words, _ = pack_blocks_device(flat_vals, flat_nbits, jnp.int32(0),
-                                      n_words, starts=starts)
+                                      n_words)
         return words, seg_word_start, seg_bits
 
     return batch_encode
