@@ -61,10 +61,36 @@ def encode_gops(data: bytes, width: int, height: int, quant, use_rle: bool,
     return out
 
 
+def missing_gops(segments: dict, n_frames: int, gop: int) -> list[int]:
+    """Failure DETECTION for the distributed encode: which GOP ids are
+    absent or malformed in the gathered segment map (a crashed or
+    straggling host's share).  Recovery = re-encode them anywhere via
+    encode_gops(..., gop_ids=missing) — GOPs are independent, so elastic
+    reassignment needs no coordination beyond this list."""
+    n_gops = len(_gop_slices(n_frames, gop))
+    bad = []
+    for i in range(n_gops):
+        seg = segments.get(i)
+        if (seg is None or len(seg) != 2 or not isinstance(seg[0], bytes)
+                or int(seg[1]) > len(seg[0]) * 8
+                or (int(seg[1]) == 0) != (len(seg[0]) == 0)):
+            bad.append(i)
+    return bad
+
+
 def assemble(segments: dict, n_frames: int, width: int, height: int, quant,
              use_rle: bool, gop: int, merange: int,
              use_huffman: bool = True) -> bytes:
-    """Root-side: header + GOP payloads in order + optional global Huffman."""
+    """Root-side: header + GOP payloads in order + optional global Huffman.
+
+    Refuses to splice an incomplete/inconsistent segment map (silent bad
+    assembly was the round-1 gap): callers catch the ValueError, re-encode
+    `missing_gops(...)` on any surviving host, and retry.
+    """
+    bad = missing_gops(segments, n_frames, gop)
+    if bad:
+        raise ValueError(f"missing or malformed GOP segments: {bad}; "
+                         f"re-encode them via encode_gops(gop_ids={bad})")
     writer = BitWriter()
     if not use_huffman:
         writer.put_bit(0)

@@ -131,3 +131,41 @@ def test_numerics_mismatch_rejected(tmp_path, quant, video):
     with pytest.raises(ValueError):
         encode_video_checkpointed(video, 64, 64, quant, True, 4, 16, str(d),
                                   use_huffman=False, norm="ortho")
+
+
+def test_distributed_lost_host_detected_and_recovered(quant, video):
+    """Elastic recovery: a host's lost GOP share is DETECTED at assembly
+    (no silent bad splice) and re-encoding just the missing ids on a
+    survivor reproduces the exact stream."""
+    from imageencoder_tpu.parallel.distributed import missing_gops
+
+    n_hosts, n_gops = 3, 3
+    segments = {}
+    for host in range(n_hosts):
+        if host == 1:
+            continue  # host 1 "crashed" mid-job
+        ids = gop_assignment(n_gops, n_hosts, host)
+        segments.update(encode_gops(video, 64, 64, quant, True, 4, 16, ids))
+
+    lost = missing_gops(segments, 10, 4)
+    assert lost == gop_assignment(n_gops, n_hosts, 1)
+    with pytest.raises(ValueError):
+        assemble(segments, 10, 64, 64, quant, True, 4, 16)
+
+    # Elastic reassignment: any survivor re-encodes exactly the lost ids.
+    segments.update(encode_gops(video, 64, 64, quant, True, 4, 16, lost))
+    out = assemble(segments, 10, 64, 64, quant, True, 4, 16)
+    straight = encode_video(video, 64, 64, quant, True, 4, 16,
+                            use_huffman=True)
+    assert out == straight
+
+
+def test_distributed_corrupt_segment_detected(quant, video):
+    segments = encode_gops(video, 64, 64, quant, True, 4, 16, [0, 1, 2])
+    data, nbits = segments[2]
+    segments[2] = (data[:2], nbits)  # truncated mid-transfer
+    from imageencoder_tpu.parallel.distributed import missing_gops
+
+    assert missing_gops(segments, 10, 4) == [2]
+    with pytest.raises(ValueError):
+        assemble(segments, 10, 64, 64, quant, True, 4, 16)
