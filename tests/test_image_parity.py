@@ -170,3 +170,19 @@ def test_alternate_quant_matrix_cross_parity(ref):
         ref.decode_image(our_enc, img.shape[1], img.shape[0], qf,
                          name="q2ex6x"), ref_px)
     assert np.array_equal(decode_image(our_enc), ref_px)
+
+
+@pytest.mark.parametrize("backend", ["jax", "fast"])
+def test_device_and_fast_streams_decode_on_reference_decoder(ref, quant,
+                                                             backend):
+    """Streams produced by the f32 device pipeline (Pallas packer) and the
+    fast host path must decode on the shipped REFERENCE binary: the
+    lossless stages are bit-exact by construction, and only quantized
+    coefficients may differ (+-1 rounding-tie class)."""
+    img = fixture_image("ex6")
+    our_enc = encode_image(img, quant, True, use_huffman=True,
+                           backend=backend)
+    ref_px = ref.decode_image(our_enc, img.shape[1], img.shape[0], QUANTFILE,
+                              True, name=f"ours_{backend}")
+    our_px = decode_image(our_enc, backend="numpy")
+    assert np.array_equal(ref_px, our_px)

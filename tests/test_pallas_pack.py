@@ -51,3 +51,34 @@ def test_pallas_empty():
                                  jnp.zeros((0, 4), jnp.int32),
                                  jnp.int32(9), 4, interpret=True)
     assert int(tp) == 9 and np.asarray(wp).shape == (4,)
+
+
+@pytest.mark.parametrize("pattern", ["all_zero", "all_max", "alternating",
+                                     "single_field", "first_last"])
+def test_pallas_edge_patterns(pattern):
+    """Adversarial width patterns: all-empty records, all-maximal records
+    (bound exactly reached), 0/16 alternation, and content only at the
+    chunk edges."""
+    n, f = CHUNK + 17, 18
+    if pattern == "all_zero":
+        nbits = np.zeros((n, f), np.int32)
+    elif pattern == "all_max":
+        nbits = np.full((n, f), 16, np.int32)
+    elif pattern == "alternating":
+        nbits = np.tile(np.array([0, 16] * (f // 2), np.int32), (n, 1))
+    elif pattern == "single_field":
+        nbits = np.zeros((n, f), np.int32)
+        nbits[:, 3] = 5
+    else:  # first_last
+        nbits = np.zeros((n, f), np.int32)
+        nbits[0] = 16
+        nbits[-1] = 16
+    rng = np.random.default_rng(1)
+    vals = rng.integers(-(2 ** 15), 2 ** 15, (n, f)).astype(np.int32)
+    nw = n * 9 + 70
+    ws, ts = pack_blocks_device(jnp.asarray(vals), jnp.asarray(nbits),
+                                jnp.int32(7), nw, method="scatter")
+    wp, tp = pack_records_pallas(jnp.asarray(vals), jnp.asarray(nbits),
+                                 jnp.int32(7), nw, interpret=True)
+    assert int(ts) == int(tp)
+    assert np.array_equal(np.asarray(ws), np.asarray(wp))
