@@ -221,6 +221,300 @@ def make_sharded_encode_packed(mesh, block_size: int = 4, use_rle: bool = True,
     return jax.jit(fn)
 
 
+def make_sharded_huffman_pack(mesh, mode: str = "concat"):
+    """Stage-2 distributed entropy coding: every shard Huffman-encodes ITS
+    OWN byte range of the inner stream with the shared canonical code
+    table and packs the codes on device — the multi-chip equivalent of the
+    reference's serial per-byte re-encode loop (Huffman.cpp:314-319).
+
+    Byte ownership: segment g owns inner bytes [ceil(base_g/8),
+    ceil(end_g/8)) — a partition; its last byte may straddle into the next
+    segment, so the host passes back the fully-merged boundary WORD
+    (computed from tiny first/tail word extracts) and the shard ORs it in
+    before extracting bytes.  Code bits then concatenate in byte order,
+    which is exactly the serial payload — the final splice is the same
+    byte-OR as stage 1.
+
+    Returns jitted f(words [F,S,WLOC] u32 (stage-1 aligned segments,
+    sharded), bits [F,S] i32 (sharded), bnd [F,S] u32 (replicated merged
+    end-boundary words), code_w u32 [F,256], code_l i32 [F,256]
+    (replicated; row 0 used for every frame in concat mode),
+    inner_start i32, prefix_bits i32 [F] (output-side prefix: dict +
+    header-byte codes; row 0 used in concat mode)) ->
+        out_words [F, S, W2] u32 (aligned compressed segments)
+        out_bits  [F, S] i32
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.device_pack import pack_blocks_device
+
+    f_ax = mesh.shape["frame"]
+    s_ax = mesh.shape["block"]
+    assert mode in ("concat", "separate")
+
+    def full_matrix(local, axis_names=("block", "frame")):
+        g1 = jax.lax.all_gather(local, "block")        # [S, f_loc]
+        g2 = jax.lax.all_gather(g1, "frame")           # [f_ax, S, f_loc]
+        return g2.transpose(0, 2, 1).reshape(-1, s_ax)  # [F, S]
+
+    def bases_from(full, start):
+        if mode == "concat":
+            flat = full.reshape(-1)
+            return (start + jnp.cumsum(flat) - flat).reshape(full.shape)
+        return start[:, None] + jnp.cumsum(full, axis=1) - full
+
+    def per_shard(words, bits, bnd, code_w, code_l, inner_start,
+                  prefix_bits):
+        f_loc = words.shape[0]
+        wloc = words.shape[2]
+        nbytes_loc = wloc * 4
+        fid = jax.lax.axis_index("frame")
+        sid = jax.lax.axis_index("block")
+        my_rows = fid * f_loc + jnp.arange(f_loc)
+
+        full = full_matrix(bits[:, 0])
+        if mode == "concat":
+            base_f = bases_from(full, jnp.asarray(inner_start, jnp.int32))
+        else:
+            base_f = bases_from(full, jnp.full((full.shape[0],),
+                                               inner_start, jnp.int32))
+        base = base_f[my_rows, sid]                    # [f_loc]
+        seg_len = bits[:, 0]
+        end = base + seg_len
+
+        out_words_l, out_bits_l = [], []
+        for i in range(f_loc):
+            w = words[i, 0]
+            # OR in the fully-merged boundary word at the segment's end.
+            idx_end = (end[i] >> 5) - (base[i] >> 5)
+            col = jax.lax.broadcasted_iota(jnp.int32, (wloc,), 0)
+            w = w | jnp.where(col == idx_end, bnd[my_rows[i], sid],
+                              jnp.uint32(0))
+            # Bytes + ownership mask.
+            sh = jnp.array([24, 16, 8, 0], jnp.uint32)
+            byts = ((w[:, None] >> sh[None, :]) & jnp.uint32(0xFF)) \
+                .astype(jnp.int32).reshape(-1)          # [wloc*4]
+            gb = (base[i] >> 5) * 4 + jnp.arange(nbytes_loc, dtype=jnp.int32)
+            owned = (gb >= ((base[i] + 7) >> 3)) & (gb < ((end[i] + 7) >> 3))
+            frame_row = my_rows[i] if mode == "separate" else 0
+            lens = jnp.where(owned, code_l[frame_row][byts], 0)
+            vals = code_w[frame_row][byts].astype(jnp.int32)
+            out_w, total = pack_blocks_device(
+                vals[:, None], lens[:, None], jnp.int32(0),
+                (nbytes_loc * 15) // 32 + 2)
+            out_words_l.append(out_w)
+            out_bits_l.append(jnp.sum(lens, dtype=jnp.int32))
+        out_words = jnp.stack(out_words_l)
+        out_bits = jnp.stack(out_bits_l)
+
+        # Output-side placement: prefix + exclusive cumsum, then align.
+        out_full = full_matrix(out_bits)
+        if mode == "concat":
+            out_base_f = bases_from(out_full, prefix_bits[0])
+        else:
+            out_base_f = bases_from(out_full, prefix_bits)
+        out_base = out_base_f[my_rows, sid]
+
+        s_sh = (out_base & 31).astype(jnp.uint32)[:, None]
+        ext = jnp.concatenate(
+            [out_words, jnp.zeros((f_loc, 1), jnp.uint32)], axis=1)
+        prev = jnp.concatenate(
+            [jnp.zeros((f_loc, 1), jnp.uint32), out_words], axis=1)
+        aligned = jnp.where(
+            s_sh > 0, (ext >> s_sh) | (prev << ((32 - s_sh) % 32)), ext)
+        return aligned[:, None, :], out_bits[:, None]
+
+    fn = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("frame", "block", None), P("frame", "block"),
+                  P(), P(), P(), P(), P()),
+        out_specs=(P("frame", "block", None), P("frame", "block")),
+        check_rep=False)
+    return jax.jit(fn)
+
+
+def _merged_boundary_words(words, bits, base_np, header: bytes,
+                           streams: np.ndarray):
+    """Host side: the fully-merged value of every segment-junction WORD,
+    from two tiny device extracts (first + tail word per segment).
+
+    ``streams[g]`` names the stream each segment belongs to (0 in concat
+    mode, the frame index in separate mode — word indices collide across
+    streams otherwise).  Returns (bnd [n_seg] uint32 — merged word at
+    each segment's END word index — and a {(stream, word idx): uint32}
+    map covering the header and every junction word, for reconstructing
+    uncovered byte values)."""
+    import jax.numpy as jnp
+
+    f, s, wloc = words.shape
+    flat_words = words.reshape(f * s, wloc)
+    base = base_np.reshape(-1)
+    lens = np.asarray(bits, dtype=np.int64).reshape(-1)
+    end = base + lens
+    idx_end = ((end >> 5) - (base >> 5)).astype(np.int32)
+    fw = np.asarray(flat_words[:, 0])
+    tw = np.asarray(jnp.take_along_axis(
+        flat_words, jnp.asarray(idx_end)[:, None], axis=1))[:, 0]
+
+    acc: dict[tuple[int, int], int] = {}
+    for st in sorted(set(int(x) for x in streams)):
+        for p in range(0, len(header), 4):
+            wv = int.from_bytes(header[p:p + 4].ljust(4, b"\x00"), "big")
+            acc[st, p // 4] = acc.get((st, p // 4), 0) | wv
+    for g in range(len(base)):
+        st = int(streams[g])
+        kb, ke = (st, int(base[g]) >> 5), (st, int(end[g]) >> 5)
+        acc[kb] = acc.get(kb, 0) | int(fw[g])
+        acc[ke] = acc.get(ke, 0) | int(tw[g])
+    bnd = np.array([acc.get((int(streams[g]), int(end[g]) >> 5), 0)
+                    for g in range(len(base))], dtype=np.uint32)
+    return bnd, acc
+
+
+def _acc_byte(acc: dict, st: int, b: int) -> int:
+    return (acc.get((st, b >> 2), 0) >> (24 - 8 * (b & 3))) & 0xFF
+
+
+def encode_sharded_huffman(words, bits, hist, start_bit: int, header: bytes,
+                           mesh, mode: str = "concat"):
+    """Finish a stage-1 sharded encode with DISTRIBUTED entropy coding.
+
+    The inner stream never materializes on the host: the exact byte
+    histogram = psum'd device interiors + host-reconstructed boundary
+    bytes (from tiny word extracts), the canonical codes build on host
+    (256 symbols), and every shard re-encodes and packs its own byte
+    range on device (make_sharded_huffman_pack).  The host splices only
+    COMPRESSED bytes.  Output is byte-identical to
+    huffman_encode(assembled inner stream).
+
+    Returns bytes (concat) or a list of per-frame bytes (separate).
+    """
+    import jax.numpy as jnp
+
+    from ..ops.bitpack import BitWriter
+    from ..ops.huffman import _dict_and_codes, _fallback
+
+    f, s, wloc = words.shape
+    bits_np = np.asarray(bits, dtype=np.int64)
+    n_streams = f if mode == "separate" else 1
+
+    # Reconstruct per-stream base offsets (the same cumsum as on device).
+    if mode == "concat":
+        flat = bits_np.reshape(-1)
+        base_np = (start_bit + np.cumsum(flat) - flat).reshape(f, s)
+    else:
+        base_np = (start_bit + np.cumsum(bits_np, axis=1) - bits_np)
+
+    streams = (np.zeros(f * s, np.int64) if mode == "concat"
+               else np.repeat(np.arange(f), s))
+    bnd, acc = _merged_boundary_words(words, bits_np, base_np, header,
+                                      streams)
+    hist_np = np.asarray(hist)[:, :256].astype(np.int64)
+
+    code_w = np.zeros((f, 256), np.uint32)
+    code_l = np.zeros((f, 256), np.int32)
+    prefix_bits = np.zeros(f, np.int32)
+    prefix_streams: list[bytes | None] = [None] * f
+    fallbacks: list[bytes | None] = [None] * n_streams
+
+    for st in range(n_streams):
+        frames_of = range(f) if mode == "concat" else [st]
+        seg_ids = [fi * s + si for fi in frames_of for si in range(s)]
+        total = int(start_bit + bits_np.reshape(-1)[seg_ids].sum())
+        # Exact histogram: device interiors + uncovered bytes.
+        freqs = hist_np[list(frames_of)].sum(axis=0)
+        covered = np.zeros((total + 7) // 8 + 1, dtype=bool)
+        for g in seg_ids:
+            b0 = -(-int(base_np.reshape(-1)[g]) // 8)
+            b1 = (int(base_np.reshape(-1)[g] + bits_np.reshape(-1)[g])) // 8
+            if b1 > b0:
+                covered[b0:b1] = True
+        unc = np.nonzero(~covered[:(total + 7) // 8])[0]
+        vals_unc = np.array([_acc_byte(acc, st if mode == "separate" else 0,
+                                       int(b)) for b in unc],
+                            dtype=np.int64)
+        freqs = freqs + np.bincount(vals_unc, minlength=256)
+
+        built = _dict_and_codes(freqs)
+        inner_bytes = (total + 7) // 8
+        if built is not None:
+            w, cw, cl = built
+            out_total = w.position + int(freqs @ cl.astype(np.int64))
+        if built is None or inner_bytes < (out_total + 7) // 8:
+            # Fallback [0][raw]: the degenerate path pulls the inner
+            # stream (rare by construction — incompressible content).
+            inner = assemble_packed_stream(
+                np.asarray(words), bits_np, start_bit, header,
+                mode="concat" if mode == "concat" else "separate")
+            if mode == "concat":
+                fallbacks[0] = _fallback(inner[0])
+            else:
+                fallbacks[st] = _fallback(inner[st][0])
+            continue
+
+        # Prefix: dict + codes of the header-region bytes [0, ceil(sb/8)).
+        pw = BitWriter()
+        pw.values.extend(w.values)
+        pw.nbits.extend(w.nbits)  # position derives from nbits
+        hdr_bytes = -(-start_bit // 8)
+        for p in range(hdr_bytes):
+            v = _acc_byte(acc, st if mode == "separate" else 0, p)
+            pw.put(int(cl[v]), int(cw[v]))
+        for fi in frames_of:
+            code_w[fi] = cw
+            code_l[fi] = cl
+            prefix_bits[fi] = pw.position
+            prefix_streams[fi] = pw.getvalue()
+
+    step = make_sharded_huffman_pack(mesh, mode)
+    out_words, out_bits = step(
+        words, bits, jnp.asarray(bnd.reshape(f, s)),
+        jnp.asarray(code_w), jnp.asarray(code_l),
+        np.int32(start_bit), jnp.asarray(prefix_bits))
+
+    if mode == "concat":
+        if fallbacks[0] is not None:
+            return fallbacks[0]
+        out, _ = assemble_packed_stream(out_words, out_bits,
+                                        int(prefix_bits[0]),
+                                        prefix_streams[0], mode="concat")
+        return out
+    result = []
+    for st in range(f):
+        if fallbacks[st] is not None:
+            result.append(fallbacks[st])
+            continue
+        # Per-frame prefix differs; re-splice frame st with its prefix.
+        seg, _ = _splice_one(np.asarray(out_words)[st],
+                             np.asarray(out_bits)[st],
+                             int(prefix_bits[st]), prefix_streams[st])
+        result.append(seg)
+    return result
+
+
+def _splice_one(words_row, bits_row, start_bit: int, header: bytes):
+    """Byte-OR splice of one frame's aligned segments (helper for the
+    separate-mode stage-2 assembly)."""
+    bits_row = np.asarray(bits_row, dtype=np.int64)
+    s = words_row.shape[0]
+    total = int(start_bit + bits_row.sum())
+    out = np.zeros((total + 7) // 8 + 4, dtype=np.uint8)
+    out[:len(header)] = np.frombuffer(header, dtype=np.uint8)
+    base = start_bit
+    for si in range(s):
+        nb = int(bits_row[si])
+        if nb:
+            seg = words_row[si].astype(">u4").view(np.uint8)
+            b0 = (base >> 5) * 4
+            n = ((base & 31) + nb + 7) // 8
+            out[b0:b0 + n] |= seg[:n]
+        base += nb
+    return out[:(total + 7) // 8].tobytes(), total
+
+
 def assemble_packed_stream(words, bits, start_bit: int, header: bytes,
                            mode: str = "concat"):
     """Splice aligned per-segment words into inner stream bytes (host side).
@@ -278,7 +572,8 @@ def boundary_byte_histogram(inner: bytes, bits, start_bit: int) -> np.ndarray:
 def encode_sharded_image_batch(frames, quant, mesh, use_rle: bool = True,
                                use_huffman: bool = True,
                                norm: str = "reference",
-                               block_size: int = 4) -> list[bytes]:
+                               block_size: int = 4,
+                               device_entropy: bool = False) -> list[bytes]:
     """Batch of same-shape images, sharded over the mesh, each returning
     its own wire stream — byte-identical to encode_image(backend="jax")
     up to documented f32 rounding-tie coefficients (identical to the
@@ -306,6 +601,12 @@ def encode_sharded_image_batch(frames, quant, mesh, use_rle: bool = True,
     words, bits, hist = step(jnp.asarray(frames),
                              jnp.asarray(qm.as_float(np.float32)),
                              np.int32(writer.position))
+    if use_huffman and device_entropy:
+        # Stage-2 distributed entropy coding: every shard re-encodes its
+        # own byte range on device; the host splices only compressed
+        # bytes (make_sharded_huffman_pack).
+        return encode_sharded_huffman(words, bits, hist, writer.position,
+                                      header, mesh, mode="separate")
     parts = assemble_packed_stream(words, bits, writer.position, header,
                                    mode="separate")
     out = []

@@ -132,3 +132,74 @@ def test_mesh_factorization():
     assert m.shape["frame"] * m.shape["block"] == 8
     m = make_mesh(8, frame_axis=2)
     assert m.shape["frame"] == 2 and m.shape["block"] == 4
+
+
+@pytest.mark.parametrize("mode", ["concat", "separate"])
+def test_stage2_distributed_huffman(frames, quant, mode):
+    """Stage-2 distributed entropy coding: shard-local per-byte re-encode
+    + device pack + compressed-byte splice must be byte-identical to the
+    serial huffman_encode of the assembled inner stream."""
+    import jax.numpy as jnp
+
+    from imageencoder_tpu.ops.huffman import huffman_encode
+    from imageencoder_tpu.parallel import (assemble_packed_stream,
+                                           encode_sharded_huffman,
+                                           make_sharded_encode_packed)
+
+    mesh = make_mesh(8)
+    start_bit = 37
+    step = make_sharded_encode_packed(mesh, mode=mode)
+    words, bits, hist = jax.block_until_ready(
+        step(frames, quant, np.int32(start_bit)))
+    header = b"\x12\x34\x50\x00\x00"[:(start_bit + 7) // 8]
+
+    got = encode_sharded_huffman(words, bits, hist, start_bit, header,
+                                 mesh, mode=mode)
+    if mode == "concat":
+        inner, _ = assemble_packed_stream(words, bits, start_bit, header,
+                                          mode="concat")
+        assert got == huffman_encode(inner)
+    else:
+        parts = assemble_packed_stream(words, bits, start_bit, header,
+                                       mode="separate")
+        for fi, (inner, _) in enumerate(parts):
+            assert got[fi] == huffman_encode(inner), fi
+
+
+def test_stage2_fallback_on_incompressible(quant):
+    """Noise does not compress: stage 2 must emit the exact [0][raw]
+    fallback the serial path produces."""
+    import jax.numpy as jnp
+
+    from imageencoder_tpu.ops.huffman import huffman_encode
+    from imageencoder_tpu.parallel import (assemble_packed_stream,
+                                           encode_sharded_huffman,
+                                           make_sharded_encode_packed)
+
+    rng = np.random.default_rng(0)
+    noisy = rng.integers(0, 256, (4, 64, 64), dtype=np.uint8)
+    mesh = make_mesh(8)
+    step = make_sharded_encode_packed(mesh, mode="concat")
+    words, bits, hist = jax.block_until_ready(
+        step(noisy, quant, np.int32(8)))
+    got = encode_sharded_huffman(words, bits, hist, 8, b"\x00", mesh,
+                                 mode="concat")
+    inner, _ = assemble_packed_stream(words, bits, 8, b"\x00",
+                                      mode="concat")
+    assert got == huffman_encode(inner)
+
+
+def test_image_batch_device_entropy(frames, quant):
+    from imageencoder_tpu.models.image import encode_image
+    from imageencoder_tpu.parallel import encode_sharded_image_batch
+    from imageencoder_tpu.utils.quant import QuantMatrix
+
+    mesh = make_mesh(8)
+    qm = QuantMatrix(quant.astype(np.uint32))
+    streams = encode_sharded_image_batch(frames, qm, mesh, use_rle=True,
+                                         use_huffman=True,
+                                         device_entropy=True)
+    for f in range(frames.shape[0]):
+        single = encode_image(frames[f], qm, use_rle=True, use_huffman=True,
+                              backend="jax")
+        assert streams[f] == single, f
