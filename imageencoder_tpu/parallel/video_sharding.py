@@ -597,3 +597,53 @@ def assemble_sharded_video_packed(mvw, blw, blk_bits, width: int, height: int,
              + boundary_byte_histogram(inner, np.asarray(seg_bits),
                                        start_bit))
     return huffman_encode_with_hist(inner, freqs)
+
+
+def encode_sharded_video_huffman(mvw, blw, blk_bits, hist, width: int,
+                                 height: int, quant, use_rle: bool,
+                                 gop: int, merange: int, mesh) -> bytes:
+    """Stage-2 distributed entropy coding for the packed sharded VIDEO
+    stream: the per-frame [mvec segments][block segments] wire order is a
+    flat concat over 2F "virtual frames" (mv row f -> 2f, block row f ->
+    2f+1), which keeps both kinds on frame-shard f — so the generic
+    image-side stage-2 (parallel/sharding.encode_sharded_huffman) applies
+    verbatim.  Byte-identical to assemble_sharded_video_packed(...,
+    use_huffman=True)."""
+    import jax.numpy as jnp
+
+    from ..models.headers import (VideoParams, write_image_header,
+                                  write_video_params)
+    from ..models.video import mvec_bits
+    from .sharding import encode_sharded_huffman
+
+    f, s, wblk = np.asarray(blw.shape, dtype=np.int64)
+    f, s, wblk = int(f), int(s), int(wblk)
+    wmv = int(mvw.shape[2])
+    gop = max(1, gop)
+    mb = mvec_bits(merange)
+    n_mb_loc = (height // s // MACRO) * (width // MACRO)
+    mv_seg_bits = n_mb_loc * 2 * mb
+
+    writer = BitWriter()
+    write_image_header(writer, quant, use_rle, width, height)
+    write_video_params(writer, VideoParams(f, gop, merange))
+    header = writer.getvalue()
+    start_bit = writer.position
+
+    w_star = max(wmv, wblk)
+    mvp = jnp.pad(mvw, ((0, 0), (0, 0), (0, w_star - wmv)))
+    blp = jnp.pad(blw, ((0, 0), (0, 0), (0, w_star - wblk)))
+    words_v = jnp.stack([mvp, blp], axis=1).reshape(2 * f, s, w_star)
+
+    mv_bits = np.where(np.arange(f) % gop == 0, 0,
+                       mv_seg_bits)[:, None] * np.ones((1, s), np.int64)
+    bits_v = np.stack([mv_bits.astype(np.int32),
+                       np.asarray(blk_bits, np.int32)],
+                      axis=1).reshape(2 * f, s)
+
+    hist_np = np.asarray(hist)
+    hist_v = np.stack([hist_np, np.zeros_like(hist_np)],
+                      axis=1).reshape(2 * f, hist_np.shape[1])
+
+    return encode_sharded_huffman(words_v, jnp.asarray(bits_v), hist_v,
+                                  start_bit, header, mesh, mode="concat")

@@ -184,3 +184,39 @@ def test_sharded_video_packed_stream(ref_mode, use_huffman):
                           use_huffman=use_huffman, backend="jax",
                           ref_mode=ref_mode)
     assert assembled == single
+
+
+@pytest.mark.parametrize("ref_mode", ["raw", "recon"])
+def test_sharded_video_stage2_huffman(ref_mode):
+    """Distributed entropy coding over the packed video segments must be
+    byte-identical to the single-device huffman stream."""
+    from imageencoder_tpu.models.video import encode_video
+    from imageencoder_tpu.parallel.video_sharding import (
+        encode_sharded_video_huffman, make_sharded_video_packed)
+    from imageencoder_tpu.utils.quant import QuantMatrix
+
+    quant = QuantMatrix.from_file("/root/reference/bin/matrix.txt")
+    data, _ = make_video(w=64, h=128, n=8, seed=33, smooth=False)
+    frames = split_yuv420(data, 64, 128)
+
+    mesh = make_mesh(8, frame_axis=2)
+    step = make_sharded_video_packed(mesh, GOP, MERANGE,
+                                     mvec_bits(MERANGE), ref_mode=ref_mode)
+    from imageencoder_tpu.models.headers import (VideoParams,
+                                                 write_image_header,
+                                                 write_video_params)
+    from imageencoder_tpu.ops.bitpack import BitWriter
+
+    wtr = BitWriter()
+    write_image_header(wtr, quant, True, 64, 128)
+    write_video_params(wtr, VideoParams(8, GOP, MERANGE))
+    mvw, blw, blk_bits, hist = jax.block_until_ready(
+        step(jnp.asarray(frames),
+             jnp.asarray(quant.as_float(np.float32)),
+             np.int32(wtr.position)))
+    got = encode_sharded_video_huffman(mvw, blw, blk_bits, hist, 64, 128,
+                                       quant, True, GOP, MERANGE, mesh)
+    single = encode_video(data, 64, 128, quant, True, GOP, MERANGE,
+                          use_huffman=True, backend="jax",
+                          ref_mode=ref_mode)
+    assert got == single
