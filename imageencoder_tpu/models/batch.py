@@ -130,3 +130,53 @@ def encode_image_batch(imgs, quant: QuantMatrix, use_rle: bool = True,
         return [finish(0)]
     with ThreadPoolExecutor(max_workers=max_workers) as ex:
         return list(ex.map(finish, range(bsz)))
+
+
+def encode_image_stream(imgs, quant: QuantMatrix, use_rle: bool = True,
+                        use_huffman: bool = True, norm: str = "reference",
+                        block_size: int = BLOCK_SIZE, depth: int = 2):
+    """Pipelined streaming encode: yields one wire stream per input image.
+
+    JAX dispatch is asynchronous, so keeping ``depth`` encodes in flight
+    overlaps image i+1's H2D + device compute with image i's host Huffman
+    build and D2H — the sustained-throughput serving mode (single-image
+    latency is bounded by the link; a stream is bounded by max(device,
+    host) stage time).  Streams are byte-identical to per-image
+    encode_image(backend="jax").
+    """
+    import jax.numpy as jnp
+
+    from ..ops.device_pack import HEADER_WORDS, header_to_words
+    from ..ops.huffman import huffman_encode_from_meta
+    from ..ops.pipeline import make_encode_packed, make_encode_packed_hist
+    from ..ops.device_pack import words_to_bytes
+
+    writer = None
+    pending: list = []
+
+    def finish(item):
+        if use_huffman:
+            words, meta = item
+            return huffman_encode_from_meta(words, np.asarray(meta))
+        words, total = item
+        return words_to_bytes(np.asarray(words), int(total))
+
+    for img in imgs:
+        img = np.ascontiguousarray(img, dtype=np.uint8)
+        if writer is None:
+            h, w = img.shape
+            writer = BitWriter()
+            if not use_huffman:
+                writer.put_bit(0)
+            write_image_header(writer, quant, use_rle, w, h)
+            hdr = jnp.asarray(header_to_words(writer.getvalue()))
+            fn = (make_encode_packed_hist if use_huffman
+                  else make_encode_packed)(block_size, use_rle, norm)
+        assert img.shape == (h, w), "stream images must share a shape"
+        # Dispatch (async) and only then drain the oldest in-flight encode.
+        pending.append(fn(jnp.asarray(img), jnp.asarray(
+            quant.as_float(np.float32)), np.int32(writer.position), hdr))
+        if len(pending) > depth:
+            yield finish(pending.pop(0))
+    while pending:
+        yield finish(pending.pop(0))

@@ -44,3 +44,18 @@ def test_batch_of_one(quant, imgs):
     [one] = encode_image_batch(imgs[:1], quant, True)
     assert one == encode_image(imgs[0], quant, True, use_huffman=True,
                                backend="jax")
+
+
+def test_stream_encode_matches_single(quant):
+    from imageencoder_tpu.models.batch import encode_image_stream
+    from imageencoder_tpu.models.image import encode_image
+
+    rng = np.random.default_rng(9)
+    imgs = [np.kron(rng.integers(0, 256, (16, 16)),
+                    np.ones((4, 4))).astype(np.uint8) for _ in range(5)]
+    for uh in (True, False):
+        got = list(encode_image_stream(iter(imgs), quant, True,
+                                       use_huffman=uh))
+        want = [encode_image(im, quant, True, use_huffman=uh,
+                             backend="jax") for im in imgs]
+        assert got == want, uh
