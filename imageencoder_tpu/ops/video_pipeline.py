@@ -31,7 +31,7 @@ from .device_pack import (HEADER_WORDS, pack_blocks_device,
                           packed_words_bound)
 from .dct import dct_matrix
 from .motion import MACRO, MER_SIGNS, macro_grid, search_steps
-from .pipeline import _round_half_away, fields_from_coeffs
+from .pipeline import fields_from_coeffs
 from .zigzag import zigzag_order
 
 

@@ -29,9 +29,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..ops.dct import dct_matrix
-from ..ops.pipeline import (fields_from_coeffs, _round_half_away,
-                            transform_quantize)
-from ..ops.zigzag import zigzag_order
+from ..ops.pipeline import fields_from_coeffs, transform_quantize
 
 
 def make_sharded_encode_step(mesh, block_size: int = 4, use_rle: bool = True,
@@ -56,7 +54,6 @@ def make_sharded_encode_step(mesh, block_size: int = 4, use_rle: bool = True,
 
     b = block_size
     dct_m = np.asarray(dct_matrix(b, norm), dtype=np.float32)
-    zz = zigzag_order(b)
 
     def per_shard(frames, quant):
         f_loc, h_loc, w = frames.shape
@@ -145,7 +142,6 @@ def make_sharded_encode_packed(mesh, block_size: int = 4, use_rle: bool = True,
 
     b = block_size
     dct_m = np.asarray(dct_matrix(b, norm), dtype=np.float32)
-    zz = zigzag_order(b)
     f_ax = mesh.shape["frame"]
     s_ax = mesh.shape["block"]
     assert mode in ("concat", "separate")

@@ -32,7 +32,7 @@ from ..ops import bitpack
 from ..ops.bitpack import BitWriter
 from ..ops.dct import dct_matrix
 from ..ops.motion import MACRO, MER_SIGNS, search_steps
-from ..ops.pipeline import _round_half_away, fields_from_coeffs
+from ..ops.pipeline import fields_from_coeffs
 from ..ops.zigzag import zigzag_order
 
 
