@@ -17,7 +17,7 @@ from imageencoder_tpu.ops.pallas_pack import CHUNK, pack_records_pallas
     (257, 18, 171),       # image-shaped records, odd count
     (CHUNK, 18, 2047),    # exactly one chunk
     (CHUNK + 5, 16, 37),  # crosses a chunk boundary (carry word)
-    (3 * CHUNK, 18, 169), # several chunks
+    (2 * CHUNK + 3, 18, 169),  # several chunks, carry chain
 ])
 def test_pallas_matches_scatter(n, f, start):
     rng = np.random.default_rng(n * 7 + f)
