@@ -9,12 +9,13 @@ This is the multi-chip replacement for the reference's OpenMP block loop
     device owns a horizontal stripe of block rows),
   * each device computes its stripe's transform + quantize + RLE statistics
     entirely locally (the compute is embarrassingly parallel),
-  * collectives assemble the global stream layout:
-      - per-shard payload bit totals are all_gather'd so every shard knows
-        its exclusive prefix (= its base bit offset in the final stream),
-      - a psum'd histogram of coefficient widths feeds a global entropy
-        stage (the reference builds its Huffman histogram serially,
-        Huffman.cpp:236-243).
+  * collectives assemble the global stream layout: per-shard payload bit
+    totals are all_gather'd so every shard knows its exclusive prefix
+    (= its base bit offset in the final stream); the packed steps below
+    additionally psum byte histograms of the final-phase packed words —
+    the distributed Huffman statistics stage (the reference builds its
+    histogram serially, Huffman.cpp:236-243) — and stage 2 entropy-codes
+    each shard's byte range on device.
 
 Height striping is chosen deliberately: the wire format orders blocks
 row-major over the frame (ImageBase.cpp:175-206), so the concatenation of
@@ -42,7 +43,6 @@ def make_sharded_encode_step(mesh, block_size: int = 4, use_rle: bool = True,
         nbits  int32 [F, N, K+2]   likewise
         base   int64 [F, S]        exclusive per-(frame, stripe) bit offsets
                                    within the frame's payload region
-        hist   int32 [17]          global data_bits histogram (replicated)
 
     F must be divisible by the "frame" axis size and H/B by the "block"
     axis size.

@@ -121,3 +121,45 @@ def test_video_8x8_sharded_step_matches():
     single = encode_video(data, w, h, quant, True, 4, 16, use_huffman=True,
                           norm="ortho", backend="jax", block_size=8)
     assert assembled == single
+
+
+def test_video_8x8_sharded_stage2_huffman():
+    """8x8 blocks through the packed sharded video path WITH stage-2
+    distributed entropy coding."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp
+
+    from imageencoder_tpu.models.headers import (VideoParams,
+                                                 write_image_header,
+                                                 write_video_params)
+    from imageencoder_tpu.models.video import (encode_video, mvec_bits,
+                                               split_yuv420)
+    from imageencoder_tpu.ops.bitpack import BitWriter
+    from imageencoder_tpu.parallel.mesh import make_mesh
+    from imageencoder_tpu.parallel.video_sharding import (
+        encode_sharded_video_huffman, make_sharded_video_packed)
+
+    from tests.test_video_parity import make_video
+
+    w, h = 64, 128
+    data, _ = make_video(w=w, h=h, n=4, seed=9, smooth=False)
+    frames = split_yuv420(data, w, h)
+    quant = QuantMatrix.from_file("/root/reference/bin/matrix8_1.txt", size=8)
+
+    mesh = make_mesh(8, frame_axis=4)
+    step = make_sharded_video_packed(mesh, 4, 16, mvec_bits(16),
+                                     block_size=8, norm="ortho")
+    wtr = BitWriter()
+    write_image_header(wtr, quant, True, w, h)
+    write_video_params(wtr, VideoParams(4, 4, 16))
+    mvw, blw, blk_bits, hist = jax.block_until_ready(
+        step(jnp.asarray(frames), jnp.asarray(quant.as_float(np.float32)),
+             np.int32(wtr.position)))
+    got = encode_sharded_video_huffman(mvw, blw, blk_bits, hist, w, h,
+                                       quant, True, 4, 16, mesh)
+    single = encode_video(data, w, h, quant, True, 4, 16, use_huffman=True,
+                          norm="ortho", backend="jax", block_size=8)
+    assert got == single
