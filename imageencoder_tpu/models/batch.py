@@ -180,3 +180,23 @@ def encode_image_stream(imgs, quant: QuantMatrix, use_rle: bool = True,
             yield finish(pending.pop(0))
     while pending:
         yield finish(pending.pop(0))
+
+
+def decode_image_batch(streams, norm: str = "reference",
+                       backend: str = "fast", block_size: int = BLOCK_SIZE,
+                       max_workers: int = 8):
+    """Decode many wire streams concurrently (the serving counterpart of
+    encode_image_batch).  Decode is host-stage-bound (Huffman FSM + offset
+    walk + extract all release the GIL in native code, and the fast-path
+    IDCT is a BLAS call), so a thread pool scales it across cores; outputs
+    are identical to per-stream decode_image."""
+    from .image import decode_image
+
+    streams = list(streams)
+    if len(streams) <= 1:
+        return [decode_image(s, norm=norm, backend=backend,
+                             block_size=block_size) for s in streams]
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        return list(ex.map(
+            lambda s: decode_image(s, norm=norm, backend=backend,
+                                   block_size=block_size), streams))

@@ -59,3 +59,18 @@ def test_stream_encode_matches_single(quant):
         want = [encode_image(im, quant, True, use_huffman=uh,
                              backend="jax") for im in imgs]
         assert got == want, uh
+
+
+def test_decode_batch_matches_single(quant):
+    from imageencoder_tpu.models.batch import decode_image_batch
+    from imageencoder_tpu.models.image import decode_image, encode_image
+
+    rng = np.random.default_rng(3)
+    streams = []
+    for k in range(5):
+        img = np.kron(rng.integers(0, 256, (16, 16)),
+                      np.ones((4, 4))).astype(np.uint8)
+        streams.append(encode_image(img, quant, True, use_huffman=True))
+    got = decode_image_batch(streams, backend="numpy", max_workers=4)
+    for s, g in zip(streams, got):
+        assert np.array_equal(g, decode_image(s, backend="numpy"))
