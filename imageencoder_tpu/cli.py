@@ -1,7 +1,7 @@
 """Config-driven CLI, drop-in compatible with the reference's main.cpp.
 
 Usage:  python -m imageencoder_tpu <settings.conf> [--mode encode|decode|both]
-        [--backend numpy|jax] [--no-huffman]
+        [--backend numpy|jax] [--no-huffman] [--trace]
 
 The settings file uses the reference's key=value schema (bin/ex*.conf run
 unchanged).  Mode detection follows main.cpp:34-52: image configs carry the
@@ -49,6 +49,9 @@ def main(argv=None) -> int:
     ap.add_argument("--block-size", type=int, default=4, choices=[4, 8],
                     help="image transform block size (reference supports 4; "
                          "8 requires --norm ortho)")
+    ap.add_argument("--trace", action="store_true",
+                    help="print a per-stage timing table for each encode/"
+                         "decode (utils/profiling.py ambient trace)")
     ap.add_argument("--norm", choices=["reference", "ortho"],
                     default="reference",
                     help="DCT scaling: reference = 4x4-only C() quirk "
@@ -76,6 +79,30 @@ def main(argv=None) -> int:
 
 
 def _run(c, mode, args, use_huffman) -> int:
+    import contextlib
+
+    from .utils import profiling
+
+    def traced(name, pixels=None):
+        """--trace: collect the library's ambient stage() marks and print
+        the per-stage table after the operation; otherwise free."""
+        if not args.trace:
+            return contextlib.nullcontext()
+        return _Reporting(name, pixels)
+
+    class _Reporting:
+        def __init__(self, name, pixels):
+            self._cm = profiling.tracing(name, pixels)
+
+        def __enter__(self):
+            self._t = self._cm.__enter__()
+            return self._t
+
+        def __exit__(self, *exc):
+            r = self._cm.__exit__(*exc)
+            if exc[0] is None:
+                self._t.report()
+            return r
 
     if mode == "image":
         quant = QuantMatrix.from_file(c.get("quantfile"), size=args.block_size)
@@ -87,7 +114,8 @@ def _run(c, mode, args, use_huffman) -> int:
                                quant, use_huffman=use_huffman,
                                backend=args.backend, norm=args.norm,
                                block_size=args.block_size)
-            enc.process()
+            with traced("image encode", w * h):
+                enc.process()
             enc.save_result()
             Logger.write(f"Elapsed time: {1e3 * (time.perf_counter() - t0):.3f} ms")
         if args.mode in ("decode", "both"):
@@ -95,7 +123,8 @@ def _run(c, mode, args, use_huffman) -> int:
             dec = ImageDecoder(c.get("encfile"), c.get("decfile"),
                                backend=args.backend, norm=args.norm,
                                block_size=args.block_size)
-            dec.process()
+            with traced("image decode", w * h):
+                dec.process()
             dec.save_result()
             Logger.write(f"Elapsed time: {1e3 * (time.perf_counter() - t0):.3f} ms")
         return 0
@@ -130,7 +159,8 @@ def _run(c, mode, args, use_huffman) -> int:
                                use_huffman=use_huffman, backend=args.backend,
                                ref_mode=args.ref_mode, norm=args.norm,
                                block_size=args.block_size)
-            enc.process()
+            with traced("video encode"):
+                enc.process()
             enc.save_result()
         if args.mode != "decode":
             Logger.write(f"Elapsed time: {1e3 * (time.perf_counter() - t0):.3f} ms")
@@ -139,7 +169,8 @@ def _run(c, mode, args, use_huffman) -> int:
                                motioncomp=bool(int(c.get("motioncompensation", "1"))),
                                backend=args.backend, workers=args.workers,
                                norm=args.norm, block_size=args.block_size)
-            dec.process()
+            with traced("video decode"):
+                dec.process()
             dec.save_result()
         elif args.mode == "decode":
             # A decode-only run was requested but this encoder-schema config
@@ -159,7 +190,8 @@ def _run(c, mode, args, use_huffman) -> int:
                        motioncomp=bool(int(c.get("motioncompensation"))),
                        backend=args.backend, workers=args.workers,
                        norm=args.norm, block_size=args.block_size)
-    dec.process()
+    with traced("video decode"):
+        dec.process()
     dec.save_result()
     Logger.write(f"Elapsed time: {1e3 * (time.perf_counter() - t0):.3f} ms")
     return 0

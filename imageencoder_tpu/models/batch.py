@@ -183,13 +183,15 @@ def encode_image_stream(imgs, quant: QuantMatrix, use_rle: bool = True,
 
 
 def decode_image_batch(streams, norm: str = "reference",
-                       backend: str = "fast", block_size: int = BLOCK_SIZE,
+                       backend: str = "numpy", block_size: int = BLOCK_SIZE,
                        max_workers: int = 8):
     """Decode many wire streams concurrently (the serving counterpart of
     encode_image_batch).  Decode is host-stage-bound (Huffman FSM + offset
-    walk + extract all release the GIL in native code, and the fast-path
-    IDCT is a BLAS call), so a thread pool scales it across cores; outputs
-    are identical to per-stream decode_image."""
+    walk + extract all release the GIL in native code, and the IDCT is a
+    BLAS call), so a thread pool scales it across cores; outputs are
+    identical to per-stream decode_image with the same ``backend`` (the
+    default matches decode_image's bit-parity "numpy"; pass "fast" for the
+    f32 path, which may differ by +-1 on ~0.003% of pixels)."""
     from .image import decode_image
 
     streams = list(streams)

@@ -28,6 +28,7 @@ from ..ops.bitpack import BitReader, BitWriter
 from ..ops.blockify import blockify, deblockify
 from ..ops.dct import clamp_to_u8, forward_transform, inverse_transform
 from ..ops.zigzag import zigzag_order
+from ..utils import profiling
 from ..utils.bits import shift_signed
 from ..utils.logger import Logger
 from ..utils.quant import QuantMatrix
@@ -99,14 +100,21 @@ def encode_image(img: np.ndarray, quant: QuantMatrix, use_rle: bool = True,
         if use_huffman:
             from ..ops.huffman import huffman_encode_from_meta
 
-            words, meta = make_encode_packed_hist(block_size, use_rle, norm)(*args)
-            return huffman_encode_from_meta(words, meta)
-        words, total = make_encode_packed(block_size, use_rle, norm)(*args)
-        return words_to_bytes(words, int(total))
+            with profiling.stage("device encode+pack+hist"):
+                words, meta = make_encode_packed_hist(block_size, use_rle,
+                                                      norm)(*args)
+                meta = np.asarray(meta)
+            with profiling.stage("huffman"):
+                return huffman_encode_from_meta(words, meta)
+        with profiling.stage("device encode+pack"):
+            words, total = make_encode_packed(block_size, use_rle, norm)(*args)
+            return words_to_bytes(words, int(total))
     else:
-        vals, nbits = encode_blocks(blockify(img, block_size), quant, use_rle,
-                                    norm=norm, backend=backend)
-        inner, _ = bitpack.pack_fields(
+        with profiling.stage("transform+stats"):
+            vals, nbits = encode_blocks(blockify(img, block_size), quant,
+                                        use_rle, norm=norm, backend=backend)
+        with profiling.stage("bitpack"):
+            inner, _ = bitpack.pack_fields(
             np.concatenate([np.asarray(writer.values, dtype=np.int64),
                             np.asarray(vals, dtype=np.int64).ravel()]),
             np.concatenate([np.asarray(writer.nbits, dtype=np.int64),
@@ -115,7 +123,8 @@ def encode_image(img: np.ndarray, quant: QuantMatrix, use_rle: bool = True,
     if use_huffman:
         from ..ops.huffman import huffman_encode
 
-        return huffman_encode(inner)
+        with profiling.stage("huffman"):
+            return huffman_encode(inner)
     return inner
 
 
@@ -133,8 +142,9 @@ def walk_block_offsets(bits: np.ndarray, start_bit: int, n_blocks: int,
 
         return walk_offsets_native(bits, start_bit, n_blocks, use_rle,
                                    block_size, packed=packed)
-    except Exception:
-        pass
+    except Exception as e:
+        from ..runtime.native import warn_fallback
+        warn_fallback("walk_offsets", e)
 
     k = block_size * block_size
     offs = np.empty(n_blocks, dtype=np.int64)
@@ -179,17 +189,20 @@ def decode_blocks(bits: np.ndarray, start_bit: int, n_blocks: int,
     k = block_size * block_size
     if packed is None:
         packed = np.packbits(bits).tobytes()  # share across walk + extract
-    offs, dbits, counts, end = walk_block_offsets(bits, start_bit, n_blocks,
-                                                  use_rle, block_size,
-                                                  packed=packed)
+    with profiling.stage("offset walk"):
+        offs, dbits, counts, end = walk_block_offsets(
+            bits, start_bit, n_blocks, use_rle, block_size, packed=packed)
     try:
         from ..runtime.native import extract_coeffs_native
 
-        coeffs = extract_coeffs_native(
-            packed, offs, dbits, counts,
-            zigzag_order(block_size), block_size)  # int16 row-major
+        with profiling.stage("extract"):
+            coeffs = extract_coeffs_native(
+                packed, offs, dbits, counts,
+                zigzag_order(block_size), block_size)  # int16 row-major
         coeffs = coeffs.reshape(n_blocks, block_size, block_size)
-    except Exception:
+    except Exception as e:
+        from ..runtime.native import warn_fallback
+        warn_fallback("extract_coeffs", e)
         # Vectorized numpy fallback: field (i, j) at offs[i] + j*dbits[i].
         j = np.arange(k, dtype=np.int64)[None, :]
         live = j < counts[:, None]
@@ -214,7 +227,9 @@ def decode_blocks(bits: np.ndarray, start_bit: int, n_blocks: int,
         from ..ops.pipeline import make_decode_blocks_rowmajor
 
         fn = make_decode_blocks_rowmajor(block_size, norm, residual)
-        px = fn(jnp.asarray(coeffs), jnp.asarray(quant.as_float(np.float32)))
+        with profiling.stage("idct"):
+            px = fn(jnp.asarray(coeffs),
+                    jnp.asarray(quant.as_float(np.float32)))
         if residual:
             return np.asarray(px).astype(np.float64), end
         return np.asarray(px), end
@@ -224,15 +239,17 @@ def decode_blocks(bits: np.ndarray, start_bit: int, n_blocks: int,
         # +-1 on ~0.003% of pixels (docs/PARITY.md).
         from ..ops.dct import inverse_transform_fast
 
-        px = inverse_transform_fast(coeffs, quant.as_float(np.float32), norm)
+        with profiling.stage("idct"):
+            px = inverse_transform_fast(coeffs, quant.as_float(np.float32),
+                                        norm)
         if residual:
             return px.astype(np.float64), end
         return clamp_to_u8(px), end
 
+    with profiling.stage("idct"):
+        px = inverse_transform(coeffs, quant.as_float(), norm)
     if residual:
-        return inverse_transform(coeffs, quant.as_float(), norm), end
-
-    px = inverse_transform(coeffs, quant.as_float(), norm)
+        return px, end
     return clamp_to_u8(px), end
 
 
@@ -247,7 +264,8 @@ def decode_image(data: bytes, norm: str = "reference", backend: str = "numpy",
     if bits[0]:
         from ..ops.huffman import huffman_decode
 
-        inner = huffman_decode(data)
+        with profiling.stage("huffman decode"):
+            inner = huffman_decode(data)
         bits = bitpack.to_bits(inner)
         reader = BitReader(bits, position=0)
     else:

@@ -42,8 +42,9 @@ def pack_fields(values, nbits, pad_to_bytes: int | None = None) -> tuple[bytes, 
         from ..runtime.native import pack_fields_native
 
         return pack_fields_native(values, nbits, pad_to_bytes)
-    except Exception:
-        pass
+    except Exception as e:
+        from ..runtime.native import warn_fallback
+        warn_fallback("pack_fields", e)
     offsets = np.cumsum(nbits) - nbits
     total_bits = int(offsets[-1] + nbits[-1]) if len(nbits) else 0
 

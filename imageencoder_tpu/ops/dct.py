@@ -139,8 +139,9 @@ def dct2_exact(blocks: np.ndarray, norm: str = "reference") -> np.ndarray:
         from ..runtime.native import dct_exact_native
 
         return dct_exact_native(flat, w, scale).reshape(blocks.shape)
-    except Exception:
-        pass
+    except Exception as e:
+        from ..runtime.native import warn_fallback
+        warn_fallback("dct_exact", e)
     acc = np.zeros_like(flat)
     tmp = np.empty_like(flat)  # preallocated: the 16-step loop is alloc-bound
     for k in range(n * n):
@@ -159,8 +160,9 @@ def idct2_exact(coeffs: np.ndarray, norm: str = "reference") -> np.ndarray:
         from ..runtime.native import dct_exact_native
 
         return dct_exact_native(flat, w, None).reshape(coeffs.shape)
-    except Exception:
-        pass
+    except Exception as e:
+        from ..runtime.native import warn_fallback
+        warn_fallback("idct_exact", e)
     acc = np.zeros_like(flat)
     tmp = np.empty_like(flat)
     for k in range(n * n):

@@ -103,24 +103,25 @@ def _limit_lengths(lengths: np.ndarray, cap: int) -> np.ndarray:
             while j > 0 and hist[j] == 0:
                 j -= 1
             if j == 0:
-                # No splittable shallower code.  Impossible while the total
+                # No splittable shallower code.  Unreachable while the total
                 # Kraft sum is 1 and the alphabet has <= 2^(cap-1) symbols
-                # (all-deep distributions sum below 1), but guard against
-                # it ever underflowing hist[0]: just promote the pair
-                # (Kraft decreases; still a valid prefix-code profile).
-                hist[ln] -= 2
-                hist[ln - 1] += 1
-                continue
+                # (all-deep distributions sum below 1; fuzzed over 2000 deep
+                # profiles).  A silent adjust here would drop a symbol, so
+                # fail loudly — callers fall back to the raw-copy path.
+                raise ValueError("length-limit rebalance ran out of "
+                                 "splittable depths (invalid code profile)")
             hist[ln] -= 2
             hist[ln - 1] += 1
             hist[j + 1] += 2
             hist[j] -= 1
         if hist[ln] == 1:
-            # Odd leftover (cannot happen for a true Huffman profile at the
-            # deepest level, where leaves pair; guard for robustness):
-            # promoting a single code only decreases the Kraft sum.
-            hist[ln] -= 1
-            hist[ln - 1] += 1
+            # Odd leftover: cannot happen for a true Huffman profile (the
+            # deepest occupied level always has an even count when the
+            # Kraft sum is 1), and "promoting" it to ln-1 would INCREASE
+            # the Kraft sum by 2^-ln — i.e. could break prefix-freeness.
+            # Fail loudly instead of silently emitting a bad profile.
+            raise ValueError("length-limit rebalance left an odd code at "
+                             f"depth {ln} (invalid Huffman profile)")
     # Reassign lengths: shortest codes to most frequent symbols (stable).
     order = np.argsort(lengths, kind="stable")
     present = order[lengths[order] > 0]
@@ -334,6 +335,13 @@ _DEVICE_STAGES = None
 def huffman_encode_device(words, total_bits: int):
     """Device-side Huffman over a packed inner stream (uint32 words).
 
+    NOTE: this is the STANDALONE variant — it dispatches its own histogram
+    pass (one extra device round trip) for callers that already hold a
+    packed stream but no statistics.  The production encode path uses
+    :func:`huffman_encode_from_meta`, which receives the histogram fused
+    into the encode dispatch (ops/pipeline.make_encode_packed_hist); prefer
+    that whenever you control the producing pipeline.
+
     words: device uint32 array holding the complete inner stream starting at
     bit 0; total_bits: its bit length.  Returns the final stream bytes
     (dict + payload, or the [0][raw] fallback when not smaller, exactly like
@@ -445,8 +453,9 @@ def huffman_decode(data: bytes) -> bytes:
         from ..runtime.native import huffman_fsm_decode_native
 
         return huffman_fsm_decode_native(data, reader.position, entries)
-    except Exception:
-        pass
+    except Exception as e:
+        from ..runtime.native import warn_fallback
+        warn_fallback("huffman_fsm_decode", e)
 
     next_state, n_out, out_syms = _build_fsm(entries)
     tree_children, tree_symbol = _build_tree(entries)

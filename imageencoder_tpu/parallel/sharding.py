@@ -50,7 +50,7 @@ def make_sharded_encode_step(mesh, block_size: int = 4, use_rle: bool = True,
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     b = block_size
     dct_m = np.asarray(dct_matrix(b, norm), dtype=np.float32)
@@ -84,7 +84,7 @@ def make_sharded_encode_step(mesh, block_size: int = 4, use_rle: bool = True,
         in_specs=(P("frame", "block", None), P()),
         out_specs=(P("frame", "block", None), P("frame", "block", None),
                    P("frame", "block")),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(fn)
 
 
@@ -136,7 +136,7 @@ def make_sharded_encode_packed(mesh, block_size: int = 4, use_rle: bool = True,
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..ops.device_pack import local_words, pack_blocks_device
 
@@ -213,7 +213,7 @@ def make_sharded_encode_packed(mesh, block_size: int = 4, use_rle: bool = True,
         in_specs=(P("frame", "block", None), P(), P()),
         out_specs=(P("frame", "block", None), P("frame", "block"),
                    P("frame", None)),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(fn)
 
 
@@ -243,7 +243,7 @@ def make_sharded_huffman_pack(mesh, mode: str = "concat"):
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..ops.device_pack import pack_blocks_device
 
@@ -328,7 +328,7 @@ def make_sharded_huffman_pack(mesh, mode: str = "concat"):
         in_specs=(P("frame", "block", None), P("frame", "block"),
                   P(), P(), P(), P(), P()),
         out_specs=(P("frame", "block", None), P("frame", "block")),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(fn)
 
 
@@ -401,8 +401,10 @@ def encode_sharded_huffman(words, bits, hist, start_bit: int, header: bytes,
     if mode == "concat":
         flat = bits_np.reshape(-1)
         base_np = (start_bit + np.cumsum(flat) - flat).reshape(f, s)
+        check_int32_bit_capacity(start_bit + flat.sum())
     else:
         base_np = (start_bit + np.cumsum(bits_np, axis=1) - bits_np)
+        check_int32_bit_capacity(start_bit + bits_np.sum(axis=1).max(initial=0))
 
     streams = (np.zeros(f * s, np.int64) if mode == "concat"
                else np.repeat(np.arange(f), s))
@@ -511,6 +513,20 @@ def _splice_one(words_row, bits_row, start_bit: int, header: bytes):
     return out[:(total + 7) // 8].tobytes(), total
 
 
+def check_int32_bit_capacity(total_bits: int) -> None:
+    """The device-side segment placement (base offsets, funnel phases,
+    histograms) runs in int32 — jax x64 is disabled, so there is no wider
+    path on chip.  A stream whose inner payload reaches 2**31 bits
+    (~256 MB) would silently wrap and corrupt segment placement; refuse it
+    loudly instead.  Long videos avoid this by GOP-chunked encoding
+    (models/video.py splices per-chunk streams on host)."""
+    if int(total_bits) >= 2**31:
+        raise ValueError(
+            f"sharded stream payload is {int(total_bits)} bits, beyond the "
+            "int32 device offset capacity (2**31); encode in GOP/segment "
+            "chunks and splice on host instead")
+
+
 def assemble_packed_stream(words, bits, start_bit: int, header: bytes,
                            mode: str = "concat"):
     """Splice aligned per-segment words into inner stream bytes (host side).
@@ -528,6 +544,7 @@ def assemble_packed_stream(words, bits, start_bit: int, header: bytes,
 
     def splice(frames_idx):
         total = int(start_bit + bits[frames_idx].sum())
+        check_int32_bit_capacity(total)
         out = np.zeros((total + 7) // 8 + 4, dtype=np.uint8)
         out[:len(header)] = np.frombuffer(header, dtype=np.uint8)
         base = start_bit

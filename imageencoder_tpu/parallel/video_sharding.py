@@ -100,7 +100,7 @@ def make_sharded_video_step(mesh, gop: int, merange: int, mvec_nbits: int,
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     b = block_size
     k = b * b
@@ -250,7 +250,7 @@ def make_sharded_video_step(mesh, gop: int, merange: int, mvec_nbits: int,
         out_specs=(P("frame", "block", None),
                    P("frame", "block", None), P("frame", "block", None),
                    P("frame", None)),
-        check_rep=False)
+        check_vma=False)
     import jax
 
     return jax.jit(fn)
@@ -290,7 +290,7 @@ def make_sharded_video_packed(mesh, gop: int, merange: int, mvec_nbits: int,
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..ops.device_pack import local_words, pack_blocks_device
     from .sharding import _segment_byte_histogram
@@ -521,7 +521,7 @@ def make_sharded_video_packed(mesh, gop: int, merange: int, mvec_nbits: int,
         in_specs=(P("frame", "block", None), P(), P()),
         out_specs=(P("frame", "block", None), P("frame", "block", None),
                    P("frame", "block"), P("frame", None)),
-        check_rep=False)
+        check_vma=False)
     import jax
 
     return jax.jit(fn)
@@ -565,6 +565,8 @@ def assemble_sharded_video_packed(mvw, blw, blk_bits, width: int, height: int,
     total = start_bit + sum(
         (0 if fi % gop == 0 else s * mv_seg_bits) + int(blk_bits[fi].sum())
         for fi in range(f))
+    from .sharding import check_int32_bit_capacity
+    check_int32_bit_capacity(total)
     out = np.zeros((total + 7) // 8 + 8, dtype=np.uint8)
     out[:len(header)] = np.frombuffer(header, dtype=np.uint8)
 

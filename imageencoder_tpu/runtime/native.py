@@ -194,3 +194,22 @@ def dct_exact_native(blocks: np.ndarray, w: np.ndarray,
 
 def available() -> bool:
     return _load() is not None
+
+
+_WARNED: set = set()
+
+
+def warn_fallback(stage: str, exc: BaseException) -> None:
+    """Log — once per stage per process — that a native fast path demoted
+    to its Python/numpy fallback.  The fallbacks are orders of magnitude
+    slower (the pure-Python offset walk is O(bits) interpreted), so a
+    silent demotion would look like a performance bug; surface it."""
+    if stage in _WARNED:
+        return
+    _WARNED.add(stage)
+    import warnings
+
+    warnings.warn(
+        f"native runtime unavailable for {stage} "
+        f"({type(exc).__name__}: {exc}); falling back to the slow "
+        "Python path", RuntimeWarning, stacklevel=3)

@@ -9,6 +9,15 @@ Usage:
             ...
     t.report()   # per-stage ms + throughput, via Logger
 
+Ambient usage (how the CLI's --trace works): library stages mark
+themselves with the module-level ``stage()`` context manager, which is a
+no-op unless a ``tracing()`` scope is active — zero overhead on untraced
+runs, and the codec internals need no plumbing of trace objects:
+
+    with tracing("decode", pixels=w * h) as t:
+        decode_image(data)          # its internal stage() calls report to t
+    t.report()
+
     with device_trace("/tmp/jax-trace"):   # XLA-level profile for xprof
         run()
 """
@@ -53,6 +62,40 @@ class Trace:
             if self.pixels:
                 msg += f" ({self.pixels / self.total / 1e6:.1f} Mpix/s)"
             Logger.write(msg)
+
+
+_CURRENT: Trace | None = None
+
+
+def current() -> Trace | None:
+    """The innermost active tracing() scope, or None."""
+    return _CURRENT
+
+
+@contextlib.contextmanager
+def tracing(name: str, pixels: int | None = None):
+    """Activate a Trace as the ambient collector for nested stage() marks."""
+    global _CURRENT
+    t = Trace(name, pixels)
+    prev = _CURRENT
+    _CURRENT = t
+    try:
+        with t:
+            yield t
+    finally:
+        _CURRENT = prev
+
+
+@contextlib.contextmanager
+def stage(label: str):
+    """Mark a library stage; records into the ambient trace if one is
+    active, else free (a single global read)."""
+    t = _CURRENT
+    if t is None:
+        yield
+    else:
+        with t.stage(label):
+            yield
 
 
 @contextlib.contextmanager

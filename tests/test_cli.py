@@ -108,3 +108,12 @@ def test_cli_bad_config(tmp_path):
     assert main([str(tmp_path / "nope.conf")]) == 2
     bad = write_conf(tmp_path / "bad.conf", foo="bar")
     assert main([bad]) == 3
+
+
+def test_cli_trace_prints_stage_table(image_job, capsys):
+    img, conf, d = image_job
+    assert main([conf, "--trace"]) == 0
+    out = capsys.readouterr().err
+    assert "[trace:image encode]" in out and "bitpack" in out
+    assert "[trace:image decode]" in out and "idct" in out
+    assert "total:" in out

@@ -198,6 +198,18 @@ def test_gop1_non_macro_dims_roundtrip(quant):
         assert np.mean(np.abs(got.astype(int) - frames[f].astype(int))) < 16
 
 
+def test_gop1_non_macro_dims_reference_decode(quant, ref):
+    """Cross-decoder validation of the gop==1 non-macro-dims allowance
+    (ADVICE r2): the REFERENCE decoder must read our 24x20 all-I stream
+    and produce exactly the bytes our own decoder produces — otherwise
+    the relaxed dimension guard would hide a wire incompatibility."""
+    w, h = 24, 20
+    video, _ = make_video(w=w, h=h, n=3, seed=21, smooth=False)
+    enc = encode_video(video, w, h, quant, True, 1, 16, use_huffman=False)
+    dec, _, _ = decode_video(enc)
+    assert ref.decode_video(enc, name="gop1dims") == dec
+
+
 def test_gop2_non_macro_dims_still_rejected(quant):
     w, h = 24, 20
     video, _ = make_video(w=w, h=h, n=3, seed=21, smooth=False)
