@@ -11,10 +11,14 @@ the host Huffman stage; only the packed stream crosses the host<->device
 link.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
-"extra" carries the secondary metrics the driver should track round over
-round: device-only encode time (attributable progress — the e2e number
-swings ~3x with tunnel weather), host decode time (reference: 327 ms ex4,
-README.md:193), and video encode throughput (reference: 0.38 Mpix/s).
+"extra" carries batch_encode_mpix_s (serving path, models/batch.py —
+link-bound on this tunnel: 8x the pixels through the same ~10-40 MB/s
+link, see PERFORMANCE.md), device_encode_ms (true
+in-jit time of the full device half incl. Huffman histogram, measured by
+unroll-differencing inside one jit — the tunnel adds ~3.2 ms per dispatch
+and ~1.2 ms per fori_loop iteration, so naive timings lie), host decode
+time (reference: 327 ms ex4), and video encode throughput (reference:
+0.38 Mpix/s).
 """
 
 from __future__ import annotations
@@ -59,31 +63,87 @@ def main() -> int:
     assert dec.shape == img.shape, (dec.shape, img.shape)
     note("decode sanity ok")
 
-    # Device-only encode time: chained dispatches, one sync — attributable
-    # round-over-round progress, independent of tunnel weather.
+    # Device-only encode time: measured INSIDE one jit (lax.fori_loop with
+    # the step inlined at two unroll factors; the difference cancels the
+    # tunnel's per-dispatch and per-iteration floors).  This is the true
+    # on-chip time for the complete device half: transform + RLE stats +
+    # bit pack + Huffman byte histogram.  The old chained-dispatch number
+    # (~3.2 ms/dispatch tunnel floor included) is kept as a separate extra.
     try:
         import jax.numpy as jnp
+        from jax import lax
 
         from imageencoder_tpu.ops.device_pack import HEADER_WORDS
-        from imageencoder_tpu.ops.pipeline import make_encode_packed
+        from imageencoder_tpu.ops.pipeline import make_encode_packed_hist
 
-        fn = make_encode_packed(4, True, "reference")
+        fn = make_encode_packed_hist(4, True, "reference")
         di = jax.device_put(jnp.asarray(img))
         dq = jax.device_put(jnp.asarray(quant.as_float(np.float32)))
         hw = jax.device_put(jnp.zeros(HEADER_WORDS, jnp.uint32))
-        w, t = fn(di, dq, np.int32(169), hw)
-        w.block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(8):
-            w, t = fn(di, dq, np.int32(169), hw)
-        w.block_until_ready()
-        dev_ms = (time.perf_counter() - t0) / 8 * 1e3
+
+        def timed(reps, n_iter=8):
+            @jax.jit
+            def loop(im, s0):
+                def body(i, carry):
+                    im_, s = carry
+                    for _ in range(reps):
+                        w, meta = fn(im_ ^ s.astype(jnp.uint8), dq,
+                                     jnp.int32(169), hw)
+                        s = ((jnp.sum(w.astype(jnp.int32))
+                              ^ jnp.sum(meta)) & 1).astype(jnp.int32)
+                    return (im_, s)
+                return lax.fori_loop(0, n_iter, body, (im, s0))[1]
+
+            r = loop(di, jnp.int32(0))
+            jax.block_until_ready(r)
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(loop(di, jnp.int32(0)))
+                best = min(best, (time.perf_counter() - t0) / n_iter)
+            return best
+
+        t1, t3 = timed(1), timed(3)
+        dev_ms = (t3 - t1) / 2 * 1e3
         extra["device_encode_ms"] = round(dev_ms, 2)
         extra["device_encode_mpix_s"] = round(img.size / dev_ms / 1e3, 1)
         note(f"device-only encode {dev_ms:.2f} ms "
-             f"({extra['device_encode_mpix_s']} Mpix/s)")
+             f"({extra['device_encode_mpix_s']} Mpix/s, in-jit differenced)")
+
+        w, meta = fn(di, dq, np.int32(169), hw)
+        w.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(8):
+            w, meta = fn(di, dq, np.int32(169), hw)
+        w.block_until_ready()
+        extra["device_encode_dispatch_ms"] = round(
+            (time.perf_counter() - t0) / 8 * 1e3, 2)
+        note(f"device encode via dispatch loop "
+             f"{extra['device_encode_dispatch_ms']} ms (tunnel floor incl.)")
     except Exception as e:  # never fail the headline metric
         note(f"device-only encode failed: {e}")
+
+    # Batch serving throughput: the production path (models/batch.py) —
+    # one device dispatch for a whole batch + threaded host Huffman.  The
+    # tunnel's ~10-40 MB/s H2D bounds this machine's e2e at ~10-40 Mpix/s
+    # regardless of batch size; on-chip aggregate time is reported too.
+    try:
+        from imageencoder_tpu.models.batch import encode_image_batch
+
+        bsz = 8
+        imgs = np.stack([np.roll(img, 13 * i, axis=1) for i in range(bsz)])
+        streams = encode_image_batch(imgs, quant, use_rle=True,
+                                     use_huffman=True)
+        assert streams[0] == enc, "batch stream != single-image stream"
+        t0 = time.perf_counter()
+        streams = encode_image_batch(imgs, quant, use_rle=True,
+                                     use_huffman=True)
+        bt = time.perf_counter() - t0
+        batch_mpix = imgs.size / bt / 1e6
+        extra["batch_encode_mpix_s"] = round(batch_mpix, 2)
+        note(f"batch({bsz}) encode {bt:.2f} s = {batch_mpix:.1f} Mpix/s")
+    except Exception as e:
+        note(f"batch bench failed: {e}")
 
     # Host decode (reference: 327 ms ex4 with OpenMP).
     try:
@@ -141,11 +201,20 @@ def main() -> int:
         times.append(time.perf_counter() - t0)
         note(f"run {i}: {times[-1] * 1e3:.1f} ms")
     best = min(times)
-    mpix_s = img.size / best / 1e6
+    single_mpix = img.size / best / 1e6
+    extra["single_stream_mpix_s"] = round(single_mpix, 2)
+
+    # Headline stays the single-stream e2e for round-over-round
+    # comparability.  The batch path was considered as headline (VERDICT
+    # r2) but on this tunnel BOTH numbers are link measurements — batch
+    # moves 8x the pixels through the same ~10-40 MB/s link, so it can
+    # measure *slower* than a cherry-picked single stream despite being
+    # the faster serving path on real hardware (PERFORMANCE.md "Serving").
+    mpix_s = round(single_mpix, 2)
 
     print(json.dumps({
         "metric": "image_encode_throughput_ex4",
-        "value": round(mpix_s, 2),
+        "value": mpix_s,
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 2),
         "extra": extra,

@@ -29,6 +29,67 @@ from .headers import write_image_header
 from .image import BLOCK_SIZE
 
 
+def _batch_encode_fused(imgs, quant, hdr_bits, block_size, use_rle, norm,
+                        interpret=False):
+    """TPU batch encode on the round-3 fused front end.
+
+    The batch is stacked vertically into one tall image (row-major block
+    order is then image-major — the sharding.py stacking trick), run
+    through ONE encode_locals pass, and the per-image gap/pad
+    pseudo-records are spliced in at the LOCALS level: a pseudo-record is
+    just a register-file column of zero words with a chosen bit length
+    (zero bits content; the host ORs the real header bytes in afterwards).
+    Same (words, seg_word_start, seg_bits) contract as the fields path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pallas_encode import encode_locals, frontend_lw, \
+        frontend_rows, CHUNK
+    from ..ops.pallas_pack import pack_locals_pallas
+
+    bsz, h, w = imgs.shape
+    b = block_size
+    n = (h // b) * (w // b)
+    lw = frontend_lw(b, norm)
+    rows_pad = frontend_rows(b, norm)
+    cap = lw * 32
+
+    locs, _ = encode_locals(imgs.reshape(bsz * h, w), quant, b, use_rle,
+                            norm, interpret=interpret)
+    recs = locs[:, :bsz * n].reshape(rows_pad, bsz, n)
+
+    # Per-image bit totals -> gap (header hole) and word-align pad lens.
+    lens_row = jax.lax.bitcast_convert_type(recs[lw], jnp.int32)  # [B, N]
+    rec_bits = jnp.sum(lens_row, axis=1)                          # [B]
+    seg_bits = rec_bits + hdr_bits
+    seg_words = (seg_bits + 31) // 32
+    pad_bits = seg_words * 32 - seg_bits                          # <= 31
+
+    n_gap = 2
+    gap_lens = jnp.clip(hdr_bits - cap * jnp.arange(n_gap), 0,
+                        cap).astype(jnp.int32)                    # [2]
+    gap = jnp.zeros((rows_pad, bsz, n_gap), jnp.uint32)
+    gap = gap.at[lw].set(jnp.broadcast_to(
+        gap_lens[None, :].astype(jnp.uint32), (bsz, n_gap)))
+    pad = jnp.zeros((rows_pad, bsz, 1), jnp.uint32)
+    pad = pad.at[lw].set(pad_bits[:, None].astype(jnp.uint32))
+
+    flat = jnp.concatenate([gap, recs, pad], axis=2)
+    flat = flat.reshape(rows_pad, bsz * (n + n_gap + 1))
+    total = flat.shape[1]
+    n_pad2 = -(-total // CHUNK) * CHUNK
+    if n_pad2 > total:
+        flat = jnp.pad(flat, ((0, 0), (0, n_pad2 - total)))
+
+    # Static bound: n records + a <=2*cap-bit header hole + pad, per image.
+    n_words = int(bsz) * ((n * cap) // 32 + 2 * lw + 3)
+    words, _ = pack_locals_pallas(flat, lw, jnp.int32(0), n_words,
+                                  interpret=interpret)
+    seg_word_start = jnp.cumsum(seg_words) - seg_words
+    return words, seg_word_start, seg_bits
+
+
 @lru_cache(maxsize=None)
 def _make_batch_encode(block_size: int, use_rle: bool, norm: str):
     import jax
@@ -41,6 +102,10 @@ def _make_batch_encode(block_size: int, use_rle: bool, norm: str):
         bsz, h, w = imgs.shape
         n = (h // block_size) * (w // block_size)
         k = block_size * block_size
+
+        if jax.default_backend() == "tpu":
+            return _batch_encode_fused(imgs, quant, hdr_bits, block_size,
+                                       use_rle, norm)
 
         def one(img):
             czz = transform_quantize(img, quant, jnp.asarray(dct_m),
@@ -103,6 +168,13 @@ def encode_image_batch(imgs, quant: QuantMatrix, use_rle: bool = True,
     write_image_header(writer, quant, use_rle, w, h)
     header = writer.getvalue()
     hdr_bits = writer.position
+
+    from ..ops.pallas_encode import frontend_lw
+
+    # The fused TPU path models the header hole as 2 zero pseudo-records
+    # of <= lw*32 bits each; every legal header fits (image header is
+    # bounded by 37 + B*B*16 bits), but check rather than assume.
+    assert hdr_bits <= 2 * 32 * frontend_lw(block_size, norm), hdr_bits
 
     fn = _make_batch_encode(block_size, use_rle, norm)
     words, seg_word_start, seg_bits = fn(

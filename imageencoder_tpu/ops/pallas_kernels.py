@@ -20,7 +20,7 @@ from __future__ import annotations
 from functools import lru_cache
 
 CHUNK_ROWS = 8
-CHUNK_LANES = 512  # words per row chunk; 8x512 u32 = 16 KB per step
+CHUNK_LANES = 4096  # words per row chunk; 8x4096 u32 = 128 KB per step
 
 
 def _pad_words(words, lanes_total: int):
@@ -50,30 +50,36 @@ def _hist_call(n_chunks: int, interpret: bool):
         nbytes = nbytes_ref[0]
 
         # The word buffer is a worst-case BOUND (~7x the typical stream);
-        # steps entirely past nbytes contribute nothing — skip their
-        # compare work (the dominant cost: 256 compares per byte).
+        # steps entirely past nbytes contribute nothing — skip them.
         @pl.when(step * (CHUNK_ROWS * CHUNK_LANES * 4) < nbytes)
         def _():
             w = w_ref[0]  # [CHUNK_ROWS, CHUNK_LANES] uint32
-            # Global byte index of every extracted lane.
-            word_idx = (step * (CHUNK_ROWS * CHUNK_LANES)
+            # Nibble decomposition: byte b == 16*h + l, so
+            # count[b] = sum_i [hi_i == h][lo_i == l] = (H @ L^T)[h, l] —
+            # two 16-bin one-hots (32 compares/byte instead of 256) and a
+            # [16, C] x [16, C]^T MXU contraction per byte row.
+            nib = jax.lax.broadcasted_iota(jnp.int32, (16, CHUNK_LANES), 0)
+            acc = jnp.zeros((16, 16), jnp.float32)
+            for r in range(CHUNK_ROWS):
+                row = w[r:r + 1]                       # [1, C] uint32
+                base = ((step * CHUNK_ROWS + r) * CHUNK_LANES * 4
                         + jax.lax.broadcasted_iota(
-                            jnp.int32, (CHUNK_ROWS, CHUNK_LANES), 0)
-                        * CHUNK_LANES
-                        + jax.lax.broadcasted_iota(
-                            jnp.int32, (CHUNK_ROWS, CHUNK_LANES), 1))
-            acc = jnp.zeros((CHUNK_ROWS, 256), jnp.int32)
-            for j, sh in enumerate((24, 16, 8, 0)):
-                b = ((w >> jnp.uint32(sh)) & jnp.uint32(0xFF)).astype(jnp.int32)
-                # Mosaic only supports minor-dim insertion on 32-bit types:
-                # keep everything int32 (bool [..., None] fails to lower).
-                live = ((word_idx * 4 + j) < nbytes).astype(jnp.int32)
-                masked = b * live + (1 - live) * jnp.int32(-1)  # dead -> -1
-                onehot = (masked[:, :, None]
-                          == jax.lax.broadcasted_iota(jnp.int32,
-                                                      (1, 1, 256), 2))
-                acc = acc + jnp.sum(onehot.astype(jnp.int32), axis=1)
-            o_ref[:] = o_ref[:] + acc
+                            jnp.int32, (1, CHUNK_LANES), 1) * 4)
+                for j, sh in enumerate((24, 16, 8, 0)):
+                    b = ((row >> jnp.uint32(sh))
+                         & jnp.uint32(0xFF)).astype(jnp.int32)
+                    live = (base + j) < nbytes          # [1, C]
+                    hi = jnp.where(live, b >> 4, -1)
+                    lo = b & 15
+                    hmat = (hi == nib).astype(jnp.float32)   # [16, C]
+                    lmat = (lo == nib).astype(jnp.float32)   # [16, C]
+                    acc = acc + jax.lax.dot_general(
+                        hmat, lmat, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            # f32 counts are exact below 2**24; the caller accumulates
+            # per-grid-step int32 partials, so each step's count is bounded
+            # by CHUNK_ROWS * CHUNK_LANES * 4 bytes << 2**24.
+            o_ref[:] = o_ref[:] + acc.astype(jnp.int32)
 
     return pl.pallas_call(
         kernel,
@@ -82,9 +88,9 @@ def _hist_call(n_chunks: int, interpret: bool):
                   pl.BlockSpec((1, CHUNK_ROWS, CHUNK_LANES),
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((CHUNK_ROWS, 256), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((16, 16), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((CHUNK_ROWS, 256), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((16, 16), jnp.int32),
         interpret=interpret,
     )
 
@@ -97,7 +103,7 @@ def byte_histogram(words, nbytes, interpret: bool = False):
     call = _hist_call(chunks.shape[0], interpret)
     acc = call(jnp.asarray([nbytes], jnp.int32).reshape(1),
                chunks)
-    return jnp.sum(acc, axis=0)
+    return acc.reshape(256)  # [hi, lo] row-major == byte value order
 
 
 TILE_H = 32   # rows per tile: 8 block-rows of 4

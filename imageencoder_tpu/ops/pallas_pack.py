@@ -214,6 +214,200 @@ def _pack_call(n_chunks: int, n_fields: int, interpret: bool):
     )
 
 
+@lru_cache(maxsize=None)
+def _pack_locals_call(n_chunks: int, lw: int, rows_pad: int, interpret: bool):
+    """Merge-only variant of :func:`_pack_call`: consumes pre-built
+    per-record register files (rows 0..lw-1) + bit lengths (row lw) from
+    the fused front end (ops/pallas_encode.py) instead of running level 1
+    on a field tensor.  The merge tree, chunk epilogue and carry word are
+    identical to the round-2 kernel."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    u32 = jnp.uint32
+    wc = CHUNK * lw
+    wspan = -(-(wc + 2) // 128) * 128
+
+    def kernel(starts_ref, loc_ref, out_ref, carry_ref):
+        g = pl.program_id(0)
+        data = loc_ref[:]                               # [rows_pad, C] u32
+        buf = data[:lw]                                 # [lw, C]
+        # Row lw via masked sum (sub-8 sublane-offset slices break Mosaic).
+        datai = pltpu.bitcast(data, jnp.int32)
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, CHUNK), 0)
+        lens = jnp.sum(jnp.where(rowid == lw, datai, 0), axis=0,
+                       keepdims=True)                   # [1, C] int32
+
+        # ---- merge tree, column phase: [w, m], shift axis on sublanes ----
+        w = lw
+        m = CHUNK
+
+        def shift_col(x, cols, o, s):
+            for bit in range(int(w).bit_length()):
+                k = 1 << bit
+                sh = jnp.concatenate(
+                    [jnp.zeros((k, cols), u32), x[:-k]], axis=0)
+                x = jnp.where(((o >> bit) & 1) == 1, sh, x)
+            prev = jnp.concatenate([jnp.zeros((1, cols), u32), x[:-1]],
+                                   axis=0)
+            return jnp.where(s > 0, (x >> s) | (prev << ((32 - s) % 32)), x)
+
+        while m > 128:
+            half = m // 2
+            a, b = buf[:, :half], buf[:, half:]
+            la, lb = lens[:, :half], lens[:, half:]
+            x = jnp.concatenate([b, jnp.zeros((w, half), u32)], axis=0)
+            x = shift_col(x, half, la >> 5, (la & 31).astype(u32))
+            buf = jnp.concatenate([a, jnp.zeros((w, half), u32)], axis=0) | x
+            lens = la + lb
+            w *= 2
+            m = half
+
+        # ---- transpose once to row layout [m, w] ----
+        buf = buf.T
+        lens = lens.T
+
+        def shift_row(x, nrows, o, s):
+            for bit in range(int(w).bit_length()):
+                k = 1 << bit
+                sh = jnp.concatenate(
+                    [jnp.zeros((nrows, k), u32), x[:, :-k]], axis=1)
+                x = jnp.where(((o >> bit) & 1) == 1, sh, x)
+            prev = jnp.concatenate(
+                [jnp.zeros((nrows, 1), u32), x[:, :-1]], axis=1)
+            return jnp.where(s > 0, (x >> s) | (prev << ((32 - s) % 32)), x)
+
+        while m > 8:
+            half = m // 2
+            a, b = buf[:half], buf[half:]
+            la, lb = lens[:half], lens[half:]
+            x = jnp.concatenate([b, jnp.zeros((half, w), u32)], axis=1)
+            x = shift_row(x, half, la >> 5, (la & 31).astype(u32))
+            buf = jnp.concatenate([a, jnp.zeros((half, w), u32)], axis=1) | x
+            lens = la + lb
+            w *= 2
+            m = half
+
+        while m > 1:
+            half = m // 2
+            bf = pltpu.roll(buf, 8 - half, 0)
+            lbf = pltpu.roll(lens, 8 - half, 0)
+            x = jnp.concatenate([bf, jnp.zeros((8, w), u32)], axis=1)
+            x = shift_row(x, 8, lens >> 5, (lens & 31).astype(u32))
+            buf = jnp.concatenate([buf, jnp.zeros((8, w), u32)], axis=1) | x
+            lens = lens + lbf
+            w *= 2
+            m = half
+
+        start = starts_ref[g]
+        s = (start & 31).astype(u32)
+        row = jnp.concatenate(
+            [buf[:1], jnp.zeros((1, wspan - wc), u32)], axis=1)
+        prev = jnp.concatenate([jnp.zeros((1, 1), u32), row[:, :-1]], axis=1)
+        row = jnp.where(s > 0, (row >> s) | (prev << ((32 - s) % 32)), row)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, wspan), 1)
+        rowi = pltpu.bitcast(row, jnp.int32)
+        carry = jnp.where(g > 0, carry_ref[0], jnp.int32(0))
+        rowi = rowi | jnp.where(col == 0, carry, jnp.int32(0))
+        out_ref[:] = pltpu.bitcast(rowi, jnp.uint32).reshape(1, 1, wspan)
+
+        end_rel = (s.astype(jnp.int32) + lens[0, 0]) >> 5
+        carry_ref[0] = jnp.sum(jnp.where(col == end_rel, rowi, jnp.int32(0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((rows_pad, CHUNK), lambda g, starts: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, wspan), lambda g, starts: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_chunks, 1, wspan), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def _splice_rows(rows, starts, n_words: int, wspan: int):
+    """Overlay per-chunk aligned rows at their word offsets (in-place DUS
+    chain; rows are bit-phase aligned and carry-merged, so later rows
+    simply overwrite earlier rows' zero tails)."""
+    import jax
+    import jax.numpy as jnp
+
+    n_chunks = rows.shape[0]
+    n_alloc = max(n_words, 0) + wspan + 2
+    w0 = (starts >> 5).astype(jnp.int32)
+    out = jnp.zeros((n_alloc,), jnp.uint32)
+    if n_chunks <= 128:
+        for g in range(n_chunks):
+            out = jax.lax.dynamic_update_slice(out, rows[g, 0], (w0[g],))
+    else:
+        def body(g, out):
+            row = jax.lax.dynamic_slice(rows, (g, 0, 0), (1, 1, wspan))[0, 0]
+            return jax.lax.dynamic_update_slice(out, row, (w0[g],))
+
+        out = jax.lax.fori_loop(0, n_chunks, body, out)
+    return out[:n_words]
+
+
+def pack_locals_pallas(locals_, lw: int, start_bit, n_words: int,
+                       interpret: bool = False):
+    """Pack pre-built per-record register files into the dense stream.
+
+    locals_: uint32 [ROWS_PAD, G*CHUNK] from ops/pallas_encode.encode_locals
+    (rows 0..lw-1 = register words, row lw = record bit lengths; padded
+    records have zero length).  Bit-identical to pack_records_pallas on the
+    equivalent field tensor (test_pallas_encode.py).
+    """
+    import jax.numpy as jnp
+
+    rows_pad, n_pad = locals_.shape
+    assert n_pad % CHUNK == 0
+    n_chunks = n_pad // CHUNK
+
+    half_bits = CHUNK.bit_length() // 2
+    hn = 1 << half_bits
+    r6 = jnp.asarray(_bit_reverse_perm(hn))
+
+    lens_row = pltpu_bitcast_int32(locals_)[lw]
+    chunk_bits = jnp.sum(lens_row.reshape(n_chunks, CHUNK), axis=1)
+    sb = jnp.asarray(start_bit, jnp.int32)
+    starts = sb + jnp.cumsum(chunk_bits) - chunk_bits
+    total = sb + jnp.sum(chunk_bits)
+
+    # Intra-chunk bit reversal (rev12 = rev6 x rev6 + half swap) so the
+    # kernel's (i, i+M/2) pairing concatenates records in wire order.
+    x4 = locals_.reshape(rows_pad, n_chunks, hn, hn)
+    x4 = x4[:, :, r6][:, :, :, r6].swapaxes(2, 3)
+    perm = x4.reshape(rows_pad, n_pad)
+
+    wspan = -(-(CHUNK * lw + 2) // 128) * 128
+    call = _pack_locals_call(n_chunks, lw, rows_pad, interpret)
+    rows = call(starts, perm)
+    return _splice_rows(rows, starts, n_words, wspan), total
+
+
+def pltpu_bitcast_int32(x):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
 def pack_records_pallas(vals, nbits, start_bit, n_words: int,
                         interpret: bool = False):
     """Dense-layout pack via the sequential-grid Pallas kernel.
@@ -267,22 +461,4 @@ def pack_records_pallas(vals, nbits, start_bit, n_words: int,
     wspan = -(-(CHUNK * lw + 2) // 128) * 128  # must match _pack_call
     call = _pack_call(n_chunks, f, interpret)
     rows = call(starts, fields_t)
-
-    # Splice rows at their word offsets.  Rows are already 32-bit-phase
-    # aligned and carry-merged at boundaries, so each is a pure overwrite;
-    # sequential order makes later rows overwrite earlier rows' zero tails.
-    n_alloc = max(n_words, 0) + wspan + 2
-    w0 = (starts >> 5).astype(jnp.int32)
-    out = jnp.zeros((n_alloc,), jnp.uint32)
-    if n_chunks <= 128:
-        # Unrolled: XLA schedules the in-place update chain without the
-        # ~20 us/iteration while-loop overhead.
-        for g in range(n_chunks):
-            out = jax.lax.dynamic_update_slice(out, rows[g, 0], (w0[g],))
-    else:
-        def body(g, out):
-            row = jax.lax.dynamic_slice(rows, (g, 0, 0), (1, 1, wspan))[0, 0]
-            return jax.lax.dynamic_update_slice(out, row, (w0[g],))
-
-        out = jax.lax.fori_loop(0, n_chunks, body, out)
-    return out[:n_words], total
+    return _splice_rows(rows, starts, n_words, wspan), total

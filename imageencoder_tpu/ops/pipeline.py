@@ -219,12 +219,27 @@ def make_encode_packed(block_size: int = 4, use_rle: bool = True,
 
     @jax.jit
     def encode_packed(img, quant, start_bit, header_words):
-        coeffs_zz = transform_quantize(img, quant, jnp.asarray(dct_m),
-                                       block_size)
-        vals, nbits = fields_from_coeffs(coeffs_zz, use_rle)
-        n = vals.shape[0]
-        words, total = pack_blocks_device(vals, nbits, start_bit,
-                                          packed_words_bound(n, vals.shape[1]))
+        if jax.default_backend() == "tpu":
+            # Round-3 fused front end: transform + zigzag + RLE stats +
+            # per-record register files in ONE Pallas pass (the XLA glue
+            # between the transform and the packer measured ~2.8 ms of
+            # HBM round trips on ex4 — the dominant cost, /tmp r3 job 010).
+            from .pallas_encode import encode_locals, frontend_lw
+            from .pallas_pack import pack_locals_pallas
+
+            b = block_size
+            n = (img.shape[0] // b) * (img.shape[1] // b)
+            locals_, _ = encode_locals(img, quant, b, use_rle, norm)
+            words, total = pack_locals_pallas(
+                locals_, frontend_lw(b, norm), start_bit,
+                packed_words_bound(n, b * b + 2))
+        else:
+            coeffs_zz = transform_quantize(img, quant, jnp.asarray(dct_m),
+                                           block_size)
+            vals, nbits = fields_from_coeffs(coeffs_zz, use_rle)
+            n = vals.shape[0]
+            words, total = pack_blocks_device(
+                vals, nbits, start_bit, packed_words_bound(n, vals.shape[1]))
         words = words.at[:HEADER_WORDS].set(words[:HEADER_WORDS]
                                             | header_words)
         return words, total
