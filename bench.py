@@ -191,6 +191,27 @@ def main() -> int:
     except Exception as e:
         note(f"video bench failed: {e}")
 
+    # Video decode: host fast path and the fused per-GOP device decode
+    # (ops/video_pipeline.make_decode_video_device).  On this tunnel the
+    # device path is link-bound (the decoded YUV comes back D2H at
+    # ~10-40 MB/s), so the host number is the honest e2e; the device
+    # number demonstrates the graph for production links.
+    try:
+        from imageencoder_tpu.models.video import decode_video
+
+        for label, kw in (("fast", dict(backend="fast", workers=4)),
+                          ("device", dict(backend="jax"))):
+            decode_video(venc, **kw)  # warm (compile / thread pool)
+            t0 = time.perf_counter()
+            decode_video(venc, **kw)
+            vd_s = time.perf_counter() - t0
+            extra[f"video_decode_{label}_mpix_s"] = round(
+                vw * vh * nf / vd_s / 1e6, 2)
+            note(f"video decode {label} {vd_s:.2f} s = "
+                 f"{extra[f'video_decode_{label}_mpix_s']} Mpix/s")
+    except Exception as e:
+        note(f"video decode bench failed: {e}")
+
     # The dev-tunnel link this benchmark crosses has high throughput
     # variance; more runs + min gives a stable picture of the pipeline.
     times = []

@@ -273,6 +273,44 @@ def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
     return inner  # leading 0 flag bit was emitted into the writer above
 
 
+def _decode_video_device(parsed, packed, quant, gop, n_micro, n_macro,
+                         width, height, norm, motioncomp, block_size):
+    """Device half of decode_video(backend="jax"): extract coefficients
+    natively per frame, then run GOP-chunked fused decode scans."""
+    import jax.numpy as jnp
+
+    from ..ops.video_pipeline import make_decode_video_device
+    from ..runtime.native import extract_coeffs_native
+
+    zz = zigzag_order(block_size)
+    k = block_size * block_size
+    n_frames = len(parsed)
+
+    coeffs = np.empty((n_frames, n_micro, k), dtype=np.int16)
+    mvec = np.zeros((n_frames, n_macro, 2), dtype=np.int32)
+    for f, (mv, start, (offs, dbits, counts)) in enumerate(parsed):
+        coeffs[f] = extract_coeffs_native(packed, offs, dbits, counts, zz,
+                                          block_size)
+        if mv is not None:
+            mvec[f] = mv
+
+    chunk = max(gop, (32 // gop) * gop)  # GOP-aligned, carry resets at cuts
+    fn = None
+    out = np.empty((n_frames, height, width), dtype=np.uint8)
+    for s in range(0, n_frames, chunk):
+        part = coeffs[s:s + chunk]
+        if fn is None or part.shape[0] != last_n:
+            fn = make_decode_video_device(height, width, gop, block_size,
+                                          norm, motioncomp)
+            last_n = part.shape[0]
+        dec = fn(jnp.asarray(part.astype(np.int32)
+                             .reshape(-1, n_micro, block_size, block_size)),
+                 jnp.asarray(mvec[s:s + chunk]),
+                 jnp.asarray(quant.as_float(np.float32)))
+        out[s:s + chunk] = np.asarray(dec)
+    return out
+
+
 def decode_video(data: bytes, motioncomp: bool = True,
                  norm: str = "reference", backend: str = "numpy",
                  workers: int = 0, block_size: int = BLOCK_SIZE):
@@ -308,7 +346,7 @@ def decode_video(data: bytes, motioncomp: bool = True,
 
     # Pass 1 (serial): recover every frame's record layout — the stream's
     # one true dependency chain (SURVEY §3.2).
-    parsed = []  # per frame: (mv or None, blocks_walk)
+    parsed = []  # per frame: (mv or None, start, (offs, dbits, counts))
     pos = reader.position
     for f in range(params.frame_count):
         if f % gop == 0:
@@ -320,12 +358,35 @@ def decode_video(data: bytes, motioncomp: bool = True,
             mv = shift_signed(raw, mb).reshape(n_macro, 2)
             pos = int(offs[-1] + mb)
         start = pos
-        *_, pos = walk_block_offsets(reader.bits, pos, n_micro, use_rle,
-                                     block_size=block_size, packed=packed)
-        parsed.append((mv, start))
+        walk = walk_block_offsets(reader.bits, pos, n_micro, use_rle,
+                                  block_size=block_size, packed=packed)
+        pos = walk[3]
+        parsed.append((mv, start, walk[:3]))
+
+    if (backend == "jax" and params.frame_count > 0
+            and width % MACRO == 0 and height % MACRO == 0):
+        # Fused per-GOP device decode (ops/video_pipeline.py): the host
+        # keeps the wire-forced serial stages (Huffman FSM + offset walk +
+        # extraction); prediction gather, residual IDCT, add and clamp run
+        # as one lax.scan on device.  GOP-aligned <=32-frame chunks bound
+        # memory; chunks are independent (each starts with an I-frame).
+        try:
+            frames_u8 = _decode_video_device(
+                parsed, packed, quant, gop, n_micro, n_macro, width, height,
+                norm, motioncomp, block_size)
+        except Exception as e:  # native extractor missing etc.
+            from ..runtime.native import warn_fallback
+            warn_fallback("decode_video_device", e)
+        else:
+            out = []
+            for frame in frames_u8:
+                out.append(frame.reshape(-1))
+                out.append(uv)
+            return (b"".join(a.tobytes() for a in out), params,
+                    (width, height))
 
     def decode_frame(f, ref):
-        mv, start = parsed[f]
+        mv, start, _ = parsed[f]
         if mv is None:
             blocks, _ = decode_blocks(reader.bits, start, n_micro, quant,
                                       use_rle, norm=norm, backend=backend,

@@ -301,6 +301,82 @@ def make_encode_video_packed_recon(gop: int, merange: int, mvec_nbits: int,
 
 
 @lru_cache(maxsize=None)
+def make_decode_video_device(h: int, w: int, gop: int,
+                             block_size: int = 4, norm: str = "reference",
+                             motioncomp: bool = True):
+    """Fused per-GOP device video DECODE — the decode mirror of
+    make_encode_video_packed_recon (VERDICT r2 #3).
+
+    One jit runs the whole frame chain as a lax.scan whose carry is the
+    previous DECODED frame: per step, motion-window gather from the carry
+    (clamped starts, ImageBase.cpp:253-254 / Block.cpp:482-496), residual
+    dequantize + IDCT + +128 restore (Frame.cpp:85-118), prediction add
+    and clamp (Block.cpp:111-119); I-frames decode standalone and reset
+    the carry.  The host keeps only the serial stages the wire format
+    forces (Huffman FSM + offset walk + coefficient extraction).
+
+    f(coeffs i32 [F, Nmicro, B, B] row-major, mvec i32 [F, Nmacro, 2]
+      (zero rows for I-frames), quant f32 [B, B]) -> frames u8 [F, H, W].
+
+    Numerics: f32 IDCT at HIGHEST precision — same +-1-on-rounding-tie
+    class as every device inverse path (docs/PARITY.md); the motion /
+    prediction arithmetic is integer-exact.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    b = block_size
+    dct_m = np.asarray(dct_matrix(b, norm), dtype=np.float32)
+    by_, bx_ = h // b, w // b
+    nby, nbx = h // MACRO, w // MACRO
+    bx_np, by_np = macro_grid(h, w)
+
+    @jax.jit
+    def decode_video_device(coeffs, mvec, quant):
+        f = coeffs.shape[0]
+        d = jnp.asarray(dct_m)
+        qf = quant.astype(jnp.float32)
+        bx, by = jnp.asarray(bx_np), jnp.asarray(by_np)
+        r = jnp.arange(MACRO)
+        is_i = jnp.asarray([fi % max(1, gop) == 0 for fi in range(f)])
+
+        def expand(cf):  # [N, B, B] i32 -> [h, w] f32 (+128 restored)
+            y = cf.astype(jnp.float32) * qf
+            x = jnp.einsum("ui,nuv,vj->nij", d, y, d,
+                           precision=jax.lax.Precision.HIGHEST) \
+                + jnp.float32(128.0)
+            return x.reshape(by_, bx_, b, b).swapaxes(1, 2).reshape(h, w)
+
+        def predict(ref, off):  # ref [h, w] u8; off [Nmb, 2] -> [h, w] u8
+            px = jnp.clip(bx + off[:, 0], 0, w - MACRO)
+            py = jnp.clip(by + off[:, 1], 0, h - MACRO)
+            win = ref[py[:, None, None] + r[None, :, None],
+                      px[:, None, None] + r[None, None, :]]
+            return win.reshape(nby, nbx, MACRO, MACRO) \
+                      .swapaxes(1, 2).reshape(h, w)
+
+        def step(ref, inp):
+            cf, off, i_frame = inp
+            exp = expand(cf)
+            own = jnp.floor(jnp.clip(exp, 0.0, 255.0)).astype(jnp.uint8)
+            pred = predict(ref, off)
+            if motioncomp:
+                padd = jnp.floor(jnp.clip(
+                    pred.astype(jnp.float32) + exp, 0.0, 255.0)) \
+                    .astype(jnp.uint8)
+            else:
+                padd = pred
+            out = jnp.where(i_frame, own, padd)
+            return out, out
+
+        init = jnp.zeros((h, w), jnp.uint8)  # frame 0 is always an I-frame
+        _, frames = jax.lax.scan(step, init, (coeffs, mvec, is_i))
+        return frames
+
+    return decode_video_device
+
+
+@lru_cache(maxsize=None)
 def make_encode_video_packed(gop: int, merange: int, mvec_nbits: int,
                              block_size: int = 4, use_rle: bool = True,
                              norm: str = "reference",

@@ -84,6 +84,64 @@ def test_recon_scan_device_path(quant):
     assert abs(len(host) - len(enc)) < len(host) * 0.02  # f32/f64 tie drift
 
 
+def _y_planes(raw: bytes, n: int, w: int = 64, h: int = 64):
+    fs = w * h * 3 // 2
+    a = np.frombuffer(raw, np.uint8).reshape(n, fs)
+    return a[:, :w * h].astype(np.int32), a[:, w * h:]
+
+
+def _assert_device_decode_matches(enc, n, block_size=4, motioncomp=True):
+    """Device decode == numpy decode up to the documented f32/f64 IDCT
+    rounding-tie class (docs/PARITY.md): |diff| <= 2, <0.1% of pixels."""
+    dn, pn, (w, h) = decode_video(enc, motioncomp=motioncomp,
+                                  block_size=block_size)
+    dj, pj, (wj, hj) = decode_video(enc, motioncomp=motioncomp,
+                                    backend="jax", block_size=block_size)
+    assert (pn.frame_count, w, h) == (pj.frame_count, wj, hj)
+    assert len(dn) == len(dj)
+    ya, uva = _y_planes(dn, n, w, h)
+    yb, uvb = _y_planes(dj, n, w, h)
+    np.testing.assert_array_equal(uva, uvb)  # UV fill is exact
+    d = np.abs(ya - yb)
+    assert d.max() <= 2 and (d > 0).mean() < 1e-3, \
+        f"max={d.max()} frac={(d > 0).mean()}"
+
+
+def test_device_video_decode_matches_host(quant):
+    """Fused per-GOP device decode (make_decode_video_device): prediction
+    gather + residual IDCT + add + clamp in one lax.scan per chunk."""
+    data, _ = make_video(smooth=True, seed=2)
+    enc = encode_video(data, 64, 64, quant, True, 4, 16, use_huffman=True)
+    _assert_device_decode_matches(enc, 8)
+
+
+def test_device_video_decode_variants(quant):
+    for n, gop, rle, mc, seed in [(6, 1, True, True, 7),   # all-I
+                                  (8, 8, False, True, 7),  # no RLE
+                                  (5, 3, True, True, 7),   # gop !| n
+                                  (8, 4, True, False, 3)]:  # motioncomp off
+        data, _ = make_video(n=n, smooth=True, seed=seed)
+        enc = encode_video(data, 64, 64, quant, rle, gop, 16,
+                           use_huffman=True)
+        _assert_device_decode_matches(enc, n, motioncomp=mc)
+
+
+def test_device_video_decode_chunked(quant):
+    """>32 frames: decode runs GOP-aligned scan chunks; carry resets at
+    each chunk's leading I-frame so chunks are independent."""
+    data, _ = make_video(n=40, smooth=True, seed=7)
+    enc = encode_video(data, 64, 64, quant, True, 4, 16, use_huffman=True)
+    _assert_device_decode_matches(enc, 40)
+
+
+def test_device_video_decode_block8():
+    q8 = QuantMatrix.from_file("/root/reference/bin/matrix8_1.txt", 8)
+    data, _ = make_video(n=6, smooth=True, seed=9)
+    enc = encode_video(data, 64, 64, q8, True, 3, 16, use_huffman=True,
+                       block_size=8)
+    _assert_device_decode_matches(enc, 6, block_size=8)
+
+
 def test_long_video_gop_chunking_identical(quant):
     """>32-frame device encode chunks by GOPs; stream must equal the
     unchunked device encode bit-for-bit."""
