@@ -47,6 +47,48 @@ def gop_assignment(n_gops: int, n_hosts: int, host: int) -> list[int]:
     return list(range(host, n_gops, n_hosts))
 
 
+def gather_segments(segments: dict, n_gops: int) -> dict:
+    """All-gather every host's GOP segment map across the jax.distributed
+    processes (the DCN hop of the multi-host design; single-process this is
+    the identity).  Every process must call with its own `segments` and the
+    same `n_gops`; every process returns the complete map.
+
+    Payloads are variable-length, so the collective ships fixed-shape
+    rows: a first tiny all-gather agrees on the padded row size, then one
+    [rows, 24 + cap] u8 all-gather moves (gop_id, nbits, nbytes, payload).
+    Segment bytes are tiny vs pixels (SURVEY §5: compressed stream ≈ 1-2
+    bit/px), so padding waste is irrelevant on DCN.
+    """
+    import jax
+    from jax.experimental import multihost_utils
+
+    n_proc = jax.process_count()
+    if n_proc <= 1:
+        return dict(segments)
+
+    rows = (n_gops + n_proc - 1) // n_proc
+    local_cap = max((len(b) for b, _ in segments.values()), default=0)
+    cap = int(np.max(multihost_utils.process_allgather(
+        np.asarray([local_cap], np.int64))))
+
+    buf = np.zeros((rows, 24 + cap), np.uint8)
+    buf[:, :24] = np.array([-1, 0, 0], np.int64).view(np.uint8)  # unowned
+    for r, (gid, (payload, nbits)) in enumerate(sorted(segments.items())):
+        buf[r, :24] = np.array([gid, nbits, len(payload)],
+                               np.int64).view(np.uint8)
+        buf[r, 24:24 + len(payload)] = np.frombuffer(payload, np.uint8)
+
+    gathered = np.asarray(multihost_utils.process_allgather(buf))
+    gathered = gathered.reshape(-1, 24 + cap)
+    out: dict = {}
+    for row in gathered:
+        gid, nbits, nbytes = row[:24].copy().view(np.int64)
+        if gid < 0:
+            continue
+        out[int(gid)] = (row[24:24 + int(nbytes)].tobytes(), int(nbits))
+    return out
+
+
 def encode_gops(data: bytes, width: int, height: int, quant, use_rle: bool,
                 gop: int, merange: int, gop_ids, norm: str = "reference",
                 backend: str = "numpy", ref_mode: str = "raw"):

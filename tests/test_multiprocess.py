@@ -4,6 +4,7 @@ encode.  (The transport here is a shared directory; parallel/distributed.py
 works with any transport — on TPU pods the segments ride DCN.)"""
 
 import pickle
+import socket
 import subprocess
 import sys
 
@@ -65,3 +66,64 @@ def test_two_worker_processes_assemble_identically(tmp_path):
     straight = encode_video(data, 64, 64, quant, True, 4, 16,
                             use_huffman=True)
     assert assembled == straight
+
+
+# Real jax.distributed bring-up: two OS processes form a 2-process CPU
+# cluster (gloo collectives), each encodes its GOP share, the segment maps
+# ride a cross-process all-gather (parallel/distributed.gather_segments —
+# the DCN hop), and rank 0 assembles.  This executes distributed.py's
+# initialize() for real, unlike the file-transport test above.
+JD_WORKER = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+pid, port = int(sys.argv[1]), sys.argv[2]
+from imageencoder_tpu.parallel.distributed import (
+    assemble, encode_gops, gather_segments, gop_assignment, initialize)
+from imageencoder_tpu.utils.quant import QuantMatrix
+
+initialize(coordinator_address="localhost:" + port, num_processes=2,
+           process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+
+data = open(sys.argv[3], 'rb').read()
+quant = QuantMatrix.from_file({matrix!r})
+n_gops = 3
+ids = gop_assignment(n_gops, 2, pid)
+segs = encode_gops(data, 64, 64, quant, True, 4, 16, ids)
+full = gather_segments(segs, n_gops)
+assert sorted(full) == list(range(n_gops)), sorted(full)
+if pid == 0:
+    out = assemble(full, 10, 64, 64, quant, True, 4, 16, use_huffman=True)
+    with open(sys.argv[4], 'wb') as f:
+        f.write(out)
+jax.distributed.shutdown()
+"""
+
+
+def test_jax_distributed_two_process_encode(tmp_path):
+    data, _ = make_video(n=10, seed=17, smooth=False)
+    raw = tmp_path / "v.raw"
+    raw.write_bytes(data)
+    worker = tmp_path / "worker.py"
+    worker.write_text(JD_WORKER.format(repo="/root/repo", matrix=MATRIX))
+    out = tmp_path / "rank0.bin"
+
+    with socket.socket() as s:  # pick a free coordinator port
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(h), str(port), str(raw), str(out)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for h in range(2)]
+    logs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+
+    quant = QuantMatrix.from_file(MATRIX)
+    straight = encode_video(data, 64, 64, quant, True, 4, 16,
+                            use_huffman=True)
+    assert out.read_bytes() == straight
