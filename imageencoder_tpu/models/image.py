@@ -128,14 +128,17 @@ def encode_image(img: np.ndarray, quant: QuantMatrix, use_rle: bool = True,
     return inner
 
 
-def walk_block_offsets(bits: np.ndarray, start_bit: int, n_blocks: int,
-                       use_rle: bool, block_size: int = BLOCK_SIZE,
+def walk_block_offsets(bits: np.ndarray | None, start_bit: int,
+                       n_blocks: int, use_rle: bool,
+                       block_size: int = BLOCK_SIZE,
                        packed: bytes | None = None):
     """Sequential offset-recovery over variable-length block records.
 
     Returns (payload_offsets [N], data_bits [N], n_payload [N], end_bit).
     This is the decode-side serial dependency chain (SURVEY §3.2); a native
     C++ walker (runtime/) replaces this Python loop on the hot path.
+    ``bits`` may be None when ``packed`` is given — the hot path works on
+    packed bytes and the bit array is only materialized by the fallback.
     """
     try:
         from ..runtime.native import walk_offsets_native
@@ -146,6 +149,8 @@ def walk_block_offsets(bits: np.ndarray, start_bit: int, n_blocks: int,
         from ..runtime.native import warn_fallback
         warn_fallback("walk_offsets", e)
 
+    if bits is None:
+        bits = bitpack.to_bits(packed)
     k = block_size * block_size
     offs = np.empty(n_blocks, dtype=np.int64)
     dbits = np.empty(n_blocks, dtype=np.int32)
@@ -175,7 +180,7 @@ def walk_block_offsets(bits: np.ndarray, start_bit: int, n_blocks: int,
     return offs, dbits, counts, pos
 
 
-def decode_blocks(bits: np.ndarray, start_bit: int, n_blocks: int,
+def decode_blocks(bits: np.ndarray | None, start_bit: int, n_blocks: int,
                   quant: QuantMatrix, use_rle: bool, norm: str = "reference",
                   backend: str = "numpy", block_size: int = BLOCK_SIZE,
                   residual: bool = False, packed: bytes | None = None):
@@ -185,6 +190,9 @@ def decode_blocks(bits: np.ndarray, start_bit: int, n_blocks: int,
     ``expanded`` array incl. the +128 restore, Block.cpp:163-177) WITHOUT
     the clamp-to-byte — the P-frame residual path (Frame.cpp:107-117) adds
     it onto the motion prediction before clamping.
+
+    ``bits`` may be None when ``packed`` is given — the native hot path
+    never materializes the 8x bit array; only the numpy fallbacks do.
     """
     k = block_size * block_size
     if packed is None:
@@ -203,6 +211,8 @@ def decode_blocks(bits: np.ndarray, start_bit: int, n_blocks: int,
     except Exception as e:
         from ..runtime.native import warn_fallback
         warn_fallback("extract_coeffs", e)
+        if bits is None:
+            bits = bitpack.to_bits(packed)
         # Vectorized numpy fallback: field (i, j) at offs[i] + j*dbits[i].
         j = np.arange(k, dtype=np.int64)[None, :]
         live = j < counts[:, None]
@@ -255,28 +265,70 @@ def decode_blocks(bits: np.ndarray, start_bit: int, n_blocks: int,
 
 def decode_image(data: bytes, norm: str = "reference", backend: str = "numpy",
                  block_size: int = BLOCK_SIZE):
-    """Decode a reference-format stream back to a [H,W] uint8 image."""
+    """Decode a reference-format stream back to a [H,W] uint8 image.
+
+    The hot path stays in packed BYTES end-to-end (Huffman FSM -> native
+    offset walk -> fused extract+IDCT+deblockify); the 8x-larger bit array
+    is only materialized by the numpy fallbacks and the header parse (which
+    unpacks a small prefix).
+    """
     if not data:
         from ..utils.exceptions import StreamFormatError
 
         raise StreamFormatError("empty stream")
-    bits = bitpack.to_bits(data)
-    if bits[0]:
+    if data[0] & 0x80:  # Huffman flag bit (stream is MSB-first)
         from ..ops.huffman import huffman_decode
 
         with profiling.stage("huffman decode"):
-            inner = huffman_decode(data)
-        bits = bitpack.to_bits(inner)
-        reader = BitReader(bits, position=0)
+            payload = huffman_decode(data)
+        start = 0
     else:
-        reader = BitReader(bits, position=1)
+        payload, start = data, 1
 
+    # Header (quant matrix + dims) is tiny; parse it from a prefix.
+    reader = BitReader(payload[:65536], position=start)
     quant, use_rle, w, h = read_image_header(reader, block_size)
     n_blocks = (w // block_size) * (h // block_size)
-    blocks, _ = decode_blocks(reader.bits, reader.position, n_blocks, quant,
+
+    if backend == "fast":
+        img = _decode_to_image_fused(payload, reader.position, n_blocks,
+                                     quant, use_rle, norm, block_size, h, w)
+        if img is not None:
+            return img
+
+    blocks, _ = decode_blocks(None, reader.position, n_blocks, quant,
                               use_rle, norm=norm, backend=backend,
-                              block_size=block_size)
+                              block_size=block_size, packed=payload)
     return deblockify(blocks, h, w)
+
+
+def _decode_to_image_fused(payload: bytes, start_bit: int, n_blocks: int,
+                           quant: QuantMatrix, use_rle: bool, norm: str,
+                           block_size: int, h: int, w: int):
+    """Native fused fast decode: offset walk + one-pass extract + dequant +
+    IDCT + clamp + deblockify (runtime.cpp::decode_to_image).  Returns the
+    [h, w] image, or None if the native runtime is unavailable (callers
+    fall through to the composable decode_blocks path)."""
+    from ..runtime.native import available, decode_to_image_native
+
+    if not available():
+        return None
+    try:
+        with profiling.stage("offset walk"):
+            offs, dbits, counts, _ = walk_block_offsets(
+                None, start_bit, n_blocks, use_rle, block_size,
+                packed=payload)
+        from ..ops.dct import _inv_weights
+
+        with profiling.stage("extract+idct fused"):
+            return decode_to_image_native(
+                payload, offs, dbits, counts, zigzag_order(block_size),
+                block_size, quant.as_float(np.float32),
+                _inv_weights(block_size, norm).astype(np.float32), h, w)
+    except Exception as e:
+        from ..runtime.native import warn_fallback
+        warn_fallback("decode_to_image", e)
+        return None
 
 
 @dataclass

@@ -444,8 +444,15 @@ def huffman_decode(data: bytes) -> bytes:
     (Huffman.cpp:376-383) — trailing padding may decode to extra symbols,
     which downstream parsing ignores.
     """
-    reader = BitReader(data)
+    # The dict occupies a few hundred bytes at most (<= 256 symbols of
+    # <= 15-bit codes); parse it from a prefix so the whole-stream bit
+    # array is never materialized on the native path.
+    prefix = data[:65536]
+    reader = BitReader(prefix)
     entries = parse_dict(reader)
+    if reader.position >= len(prefix) * 8 and len(data) > len(prefix):
+        reader = BitReader(data)  # pathological dict straddling the prefix
+        entries = parse_dict(reader)
     if not entries:
         raise ValueError("huffman_decode called on a stream without a dict")
 
@@ -459,7 +466,9 @@ def huffman_decode(data: bytes) -> bytes:
 
     next_state, n_out, out_syms = _build_fsm(entries)
     tree_children, tree_symbol = _build_tree(entries)
-    bits = reader.bits
+    from .bitpack import to_bits
+
+    bits = to_bits(data)
     pos = reader.position
 
     # Consume bits one at a time until byte alignment, then switch to the FSM.

@@ -267,6 +267,77 @@ int64_t extract_coeffs(const uint8_t* data, int64_t nbytes,
     return 0;
 }
 
+// Fused decode back end: coefficient extraction + dequant + inverse DCT +
+// pixel restore/clamp + deblockify in ONE pass over the blocks, writing
+// decoded bytes straight into the [h, w] image (no [N, k] coefficient or
+// [N, B, B] block intermediates).  The inverse transform is the sparse
+// accumulation y += (coeff * quant[rm]) * wi_row[rm] over only the
+// non-zero extracted coefficients (typical blocks carry a handful), with
+// y initialised to the +128 pixel restore.  f32 like the host "fast"
+// BLAS path (inverse_transform_fast); +-1 rounding-tie class vs the f64
+// bit-parity path.  Mirrors reference ImageDecoder.cpp:88-122 +
+// Block.cpp:163-177 semantics (clamp = uint8(std::clamp(x, 0., 255.))).
+// wi is the row-major [k, k] inverse weight matrix (y_flat = c_flat @ wi).
+int64_t decode_to_image(const uint8_t* data, int64_t nbytes,
+                        const int64_t* offsets, const int32_t* bits,
+                        const int32_t* counts, int64_t n_blocks,
+                        const int32_t* zz, int block_size,
+                        const float* quant, const float* wi,
+                        int64_t h, int64_t w, uint8_t* out) {
+    const int k = block_size * block_size;
+    if (k > 256) return -1;
+    const int64_t wb = w / block_size;
+    if (wb <= 0 || n_blocks != wb * (h / block_size)) return -1;
+    const int64_t nbits_total = nbytes * 8;
+    #pragma omp parallel for schedule(static) if (n_blocks > 1024)
+    for (int64_t n = 0; n < n_blocks; n++) {
+        float y[256];
+        for (int t = 0; t < k; t++) y[t] = 128.0f;
+        const int b = bits[n];
+        const int cnt = counts[n] < k ? counts[n] : k;
+        if (b > 0) {
+            const uint32_t sign_bit = 1u << (b - 1);
+            const uint32_t ext = ~0u << b;
+            int64_t pos = offsets[n];
+            for (int j = 0; j < cnt; j++) {
+                uint32_t v = 0;
+                if (pos + b <= nbits_total) {
+                    // 3-byte window covers any field of <= 17 bits.
+                    const int64_t byte0 = pos >> 3;
+                    uint32_t wnd = (uint32_t)data[byte0] << 16;
+                    if (byte0 + 1 < nbytes) wnd |= (uint32_t)data[byte0 + 1] << 8;
+                    if (byte0 + 2 < nbytes) wnd |= (uint32_t)data[byte0 + 2];
+                    v = (wnd >> (24 - (int)(pos & 7) - b)) & ((1u << b) - 1u);
+                } else {
+                    BitReader r{data, nbits_total, pos};
+                    v = r.get(b);
+                }
+                pos += b;
+                if (v & sign_bit) v |= ext;  // sign-extend
+                const int32_t sv = (int32_t)v;
+                if (sv != 0) {
+                    const int rm = zz[j];
+                    const float f = (float)sv * quant[rm];
+                    const float* wr = wi + (size_t)rm * k;
+                    for (int t = 0; t < k; t++) y[t] += f * wr[t];
+                }
+            }
+        }
+        uint8_t* base = out + (n / wb) * (int64_t)block_size * w
+                            + (n % wb) * block_size;
+        for (int r = 0; r < block_size; r++) {
+            uint8_t* orow = base + (int64_t)r * w;
+            const float* yr = y + r * block_size;
+            for (int c = 0; c < block_size; c++) {
+                float pv = yr[c];
+                pv = pv < 0.0f ? 0.0f : (pv > 255.0f ? 255.0f : pv);
+                orow[c] = (uint8_t)pv;  // trunc == floor for pv >= 0
+            }
+        }
+    }
+    return 0;
+}
+
 // MSB-first packer: each field's low nbits[i] bits of values[i], concatenated.
 // out must be zeroed by the caller. Returns 0, or -1 if out_cap is too small.
 //
