@@ -153,23 +153,45 @@ def make_sharded_encode_packed(mesh, block_size: int = 4, use_rle: bool = True,
         k2 = b * b + 2
         lw = local_words(k2)
         wloc = n_loc * lw + 2
-        # One transform implementation everywhere: stacking the local
-        # frames vertically preserves every block row, so the whole shard
-        # is a single transform_quantize call (Pallas kernel on TPU).
-        coeffs_zz = transform_quantize(
-            frames.reshape(f_loc * h_loc, w), quant, jnp.asarray(dct_m), b)
-        vals, nbits = fields_from_coeffs(coeffs_zz, use_rle)
-        vals = vals.reshape(f_loc, n_loc, k2)
-        nbits = nbits.reshape(f_loc, n_loc, k2)
+        if jax.default_backend() == "tpu":
+            # Round-3 fused Pallas front end (ops/pallas_encode): transform
+            # + zigzag + RLE stats + per-record register files in one VMEM
+            # pass, then the merge-only packer — the same 5x transform-side
+            # win the single-chip path got, now per shard.
+            from ..ops.pallas_encode import encode_locals, frontend_lw
+            from ..ops.pallas_pack import pack_locals_pallas
 
-        # Per-local-frame device pack at bit 0.
-        packed = []
-        for i in range(f_loc):
-            wd, _ = pack_blocks_device(vals[i], nbits[i],
-                                       jnp.int32(0), wloc)
-            packed.append(wd)
-        words = jnp.stack(packed)                      # [f_loc, wloc]
-        bits_local = jnp.sum(nbits, axis=(1, 2), dtype=jnp.int32)  # [f_loc]
+            flw = frontend_lw(b, norm)
+            packed, bits_l = [], []
+            for i in range(f_loc):
+                locals_, _ = encode_locals(frames[i], quant, b, use_rle,
+                                           norm)
+                wd, total = pack_locals_pallas(locals_, flw, jnp.int32(0),
+                                               wloc)
+                packed.append(wd)
+                bits_l.append(total)
+            words = jnp.stack(packed)                  # [f_loc, wloc]
+            bits_local = jnp.stack(bits_l).astype(jnp.int32)
+        else:
+            # One transform implementation everywhere: stacking the local
+            # frames vertically preserves every block row, so the whole
+            # shard is a single transform_quantize call.
+            coeffs_zz = transform_quantize(
+                frames.reshape(f_loc * h_loc, w), quant, jnp.asarray(dct_m),
+                b)
+            vals, nbits = fields_from_coeffs(coeffs_zz, use_rle)
+            vals = vals.reshape(f_loc, n_loc, k2)
+            nbits = nbits.reshape(f_loc, n_loc, k2)
+
+            # Per-local-frame device pack at bit 0.
+            packed = []
+            for i in range(f_loc):
+                wd, _ = pack_blocks_device(vals[i], nbits[i],
+                                           jnp.int32(0), wloc)
+                packed.append(wd)
+            words = jnp.stack(packed)                  # [f_loc, wloc]
+            bits_local = jnp.sum(nbits, axis=(1, 2),
+                                 dtype=jnp.int32)      # [f_loc]
 
         # Full [F, S] bit matrix via two all_gathers (a few bytes each).
         g1 = jax.lax.all_gather(bits_local, "block")   # [S, f_loc]
