@@ -311,6 +311,55 @@ def _decode_video_device(parsed, packed, quant, gop, n_micro, n_macro,
     return out
 
 
+def _decode_video_fast(parsed, packed, quant, gop, width, height, norm,
+                       motioncomp, block_size, workers):
+    """Host fast path: one fused native call per frame (extract + dequant +
+    IDCT + prediction add + clamp + deblockify, runtime.cpp::
+    decode_to_image_impl), prediction assembly native too.  Reuses the
+    pass-1 record layout — no second offset walk.  GOPs are independent
+    (each starts with an I-frame), so workers>1 decodes them in a thread
+    pool; ctypes releases the GIL for the native calls."""
+    from ..ops.dct import _inv_weights
+    from ..runtime.native import (decode_residual_to_image_native,
+                                  decode_to_image_native,
+                                  predict_frame_native)
+
+    zz = zigzag_order(block_size)
+    qf = quant.as_float(np.float32)
+    wi = _inv_weights(block_size, norm).astype(np.float32)
+    n_frames = len(parsed)
+
+    def decode_gop(g0):
+        frames_out = []
+        ref = None
+        for f in range(g0, min(g0 + gop, n_frames)):
+            mv, _, (offs, dbits, counts) = parsed[f]
+            if mv is None:
+                ref = decode_to_image_native(packed, offs, dbits, counts,
+                                             zz, block_size, qf, wi,
+                                             height, width)
+            else:
+                pred = predict_frame_native(ref, mv)
+                if motioncomp:
+                    ref = decode_residual_to_image_native(
+                        packed, offs, dbits, counts, zz, block_size, qf,
+                        wi, pred, height, width)
+                else:
+                    ref = pred
+            frames_out.append(ref)
+        return frames_out
+
+    gop_starts = list(range(0, n_frames, gop))
+    if workers > 1 and len(gop_starts) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            gop_frames = list(ex.map(decode_gop, gop_starts))
+    else:
+        gop_frames = [decode_gop(g0) for g0 in gop_starts]
+    return [fr for g in gop_frames for fr in g]
+
+
 def decode_video(data: bytes, motioncomp: bool = True,
                  norm: str = "reference", backend: str = "numpy",
                  workers: int = 0, block_size: int = BLOCK_SIZE):
@@ -325,14 +374,16 @@ def decode_video(data: bytes, motioncomp: bool = True,
         from ..utils.exceptions import StreamFormatError
 
         raise StreamFormatError("empty stream")
-    bits = bitpack.to_bits(data)
-    if bits[0]:
+    # Stay in packed BYTES end-to-end (like decode_image): the 8x bit
+    # array is only materialized for the small header prefix and the
+    # per-frame mvec ranges; walk/extract/decode all take packed bytes.
+    if data[0] & 0x80:  # Huffman flag bit (stream is MSB-first)
         from ..ops.huffman import huffman_decode
 
-        inner = huffman_decode(data)
-        reader = BitReader(bitpack.to_bits(inner), position=0)
+        payload, start = huffman_decode(data), 0
     else:
-        reader = BitReader(bits, position=1)
+        payload, start = data, 1
+    reader = BitReader(bitpack.to_bits(payload[:65536]), position=start)
 
     quant, use_rle, width, height = read_image_header(reader, block_size)
     params = read_video_params(reader)
@@ -342,7 +393,7 @@ def decode_video(data: bytes, motioncomp: bool = True,
     y_size = width * height
     uv = np.full(y_size // 2, UV_FILL, dtype=np.uint8)
     gop = max(1, params.gop)
-    packed = np.packbits(reader.bits).tobytes()  # shared by per-frame parsing
+    packed = payload  # shared by per-frame parsing
 
     # Pass 1 (serial): recover every frame's record layout — the stream's
     # one true dependency chain (SURVEY §3.2).
@@ -352,13 +403,19 @@ def decode_video(data: bytes, motioncomp: bool = True,
         if f % gop == 0:
             mv = None
         else:
-            offs = pos + np.arange(2 * n_macro, dtype=np.int64) * mb
-            raw = bitpack.read_fields(reader.bits, offs,
+            # Fixed-width contiguous fields: unpack just their byte range.
+            nb = 2 * n_macro * mb
+            b0 = pos // 8
+            local = np.unpackbits(np.frombuffer(
+                payload[b0:(pos + nb + 7) // 8], dtype=np.uint8))
+            offs = (pos - b0 * 8) + np.arange(2 * n_macro,
+                                              dtype=np.int64) * mb
+            raw = bitpack.read_fields(local, offs,
                                       np.full(2 * n_macro, mb, dtype=np.int64))
             mv = shift_signed(raw, mb).reshape(n_macro, 2)
-            pos = int(offs[-1] + mb)
+            pos = pos + nb
         start = pos
-        walk = walk_block_offsets(reader.bits, pos, n_micro, use_rle,
+        walk = walk_block_offsets(None, pos, n_micro, use_rle,
                                   block_size=block_size, packed=packed)
         pos = walk[3]
         parsed.append((mv, start, walk[:3]))
@@ -385,15 +442,32 @@ def decode_video(data: bytes, motioncomp: bool = True,
             return (b"".join(a.tobytes() for a in out), params,
                     (width, height))
 
+    if (backend == "fast" and params.frame_count > 0
+            and (gop == 1 or (width % MACRO == 0 and height % MACRO == 0))):
+        try:
+            frames_u8 = _decode_video_fast(parsed, packed, quant, gop, width,
+                                           height, norm, motioncomp,
+                                           block_size, workers)
+        except Exception as e:  # native runtime unavailable etc.
+            from ..runtime.native import warn_fallback
+            warn_fallback("decode_video_fast", e)
+        else:
+            out = []
+            for frame in frames_u8:
+                out.append(frame.reshape(-1))
+                out.append(uv)
+            return (b"".join(a.tobytes() for a in out), params,
+                    (width, height))
+
     def decode_frame(f, ref):
         mv, start, _ = parsed[f]
         if mv is None:
-            blocks, _ = decode_blocks(reader.bits, start, n_micro, quant,
+            blocks, _ = decode_blocks(None, start, n_micro, quant,
                                       use_rle, norm=norm, backend=backend,
                                       block_size=block_size, packed=packed)
             return deblockify(blocks, height, width)
         pred = predict_image(ref, mv, height, width)
-        blocks, _ = decode_blocks(reader.bits, start, n_micro, quant,
+        blocks, _ = decode_blocks(None, start, n_micro, quant,
                                   use_rle, norm=norm, backend=backend,
                                   block_size=block_size, residual=True,
                                   packed=packed)

@@ -67,6 +67,14 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.c_longlong, ctypes.c_longlong,
         ctypes.POINTER(ctypes.c_uint8)]
+    lib.decode_residual_to_image.restype = ctypes.c_longlong
+    lib.decode_residual_to_image.argtypes = (
+        lib.decode_to_image.argtypes[:-1]
+        + [ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)])
+    lib.predict_frame.restype = ctypes.c_longlong
+    lib.predict_frame.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8)]
     lib.extract_coeffs.restype = ctypes.c_longlong
     lib.extract_coeffs.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
@@ -206,6 +214,57 @@ def decode_to_image_native(data: bytes, offsets, dbits, counts, zz,
     if rc < 0:
         raise ValueError("native decode_to_image failed")
     return out.reshape(h, w)
+
+
+def decode_residual_to_image_native(data: bytes, offsets, dbits, counts,
+                                    zz, block_size: int, quant: np.ndarray,
+                                    wi: np.ndarray, pred: np.ndarray,
+                                    h: int, w: int) -> np.ndarray:
+    """P-frame fused decode: residual extract + IDCT + pred add + clamp
+    + deblockify (out = clamp(pred + IDCT + 128)).  pred: u8 [h, w]."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("native runtime not built")
+    buf = np.frombuffer(data, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    dbits = np.ascontiguousarray(dbits, dtype=np.int32)
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    zz32 = np.ascontiguousarray(zz, dtype=np.int32)
+    quant = np.ascontiguousarray(np.asarray(quant).ravel(), dtype=np.float32)
+    wi = np.ascontiguousarray(wi, dtype=np.float32)
+    pred = np.ascontiguousarray(pred, dtype=np.uint8)
+    out = np.empty(h * w, dtype=np.uint8)
+    rc = lib.decode_residual_to_image(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dbits.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(offsets),
+        zz32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), block_size,
+        quant.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        wi.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), h, w,
+        pred.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc < 0:
+        raise ValueError("native decode_residual_to_image failed")
+    return out.reshape(h, w)
+
+
+def predict_frame_native(ref: np.ndarray, mvec: np.ndarray) -> np.ndarray:
+    """Motion-compensated prediction assembly (16x16 clamped windows)."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("native runtime not built")
+    ref = np.ascontiguousarray(ref, dtype=np.uint8)
+    h, w = ref.shape
+    mv = np.ascontiguousarray(mvec, dtype=np.int32)
+    out = np.empty((h, w), dtype=np.uint8)
+    rc = lib.predict_frame(
+        ref.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        mv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc < 0:
+        raise ValueError("native predict_frame failed")
+    return out
 
 
 def dct_exact_native(blocks: np.ndarray, w: np.ndarray,

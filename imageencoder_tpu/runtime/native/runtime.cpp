@@ -278,12 +278,12 @@ int64_t extract_coeffs(const uint8_t* data, int64_t nbytes,
 // bit-parity path.  Mirrors reference ImageDecoder.cpp:88-122 +
 // Block.cpp:163-177 semantics (clamp = uint8(std::clamp(x, 0., 255.))).
 // wi is the row-major [k, k] inverse weight matrix (y_flat = c_flat @ wi).
-int64_t decode_to_image(const uint8_t* data, int64_t nbytes,
-                        const int64_t* offsets, const int32_t* bits,
-                        const int32_t* counts, int64_t n_blocks,
-                        const int32_t* zz, int block_size,
-                        const float* quant, const float* wi,
-                        int64_t h, int64_t w, uint8_t* out) {
+static int64_t decode_to_image_impl(
+        const uint8_t* data, int64_t nbytes, const int64_t* offsets,
+        const int32_t* bits, const int32_t* counts, int64_t n_blocks,
+        const int32_t* zz, int block_size, const float* quant,
+        const float* wi, int64_t h, int64_t w, const uint8_t* pred,
+        uint8_t* out) {
     const int k = block_size * block_size;
     if (k > 256) return -1;
     const int64_t wb = w / block_size;
@@ -323,17 +323,69 @@ int64_t decode_to_image(const uint8_t* data, int64_t nbytes,
                 }
             }
         }
-        uint8_t* base = out + (n / wb) * (int64_t)block_size * w
+        const int64_t px0 = (n / wb) * (int64_t)block_size * w
                             + (n % wb) * block_size;
+        uint8_t* base = out + px0;
+        const uint8_t* pbase = pred ? pred + px0 : nullptr;
         for (int r = 0; r < block_size; r++) {
             uint8_t* orow = base + (int64_t)r * w;
+            const uint8_t* prow = pbase ? pbase + (int64_t)r * w : nullptr;
             const float* yr = y + r * block_size;
             for (int c = 0; c < block_size; c++) {
-                float pv = yr[c];
+                // P-frame recon: clamp(pred + (IDCT + 128)) — the residual
+                // carries the same -128 bias as pixels (Block.cpp:139-153,
+                // Frame.cpp:107-117).
+                float pv = prow ? (float)prow[c] + yr[c] : yr[c];
                 pv = pv < 0.0f ? 0.0f : (pv > 255.0f ? 255.0f : pv);
                 orow[c] = (uint8_t)pv;  // trunc == floor for pv >= 0
             }
         }
+    }
+    return 0;
+}
+
+int64_t decode_to_image(const uint8_t* data, int64_t nbytes,
+                        const int64_t* offsets, const int32_t* bits,
+                        const int32_t* counts, int64_t n_blocks,
+                        const int32_t* zz, int block_size,
+                        const float* quant, const float* wi,
+                        int64_t h, int64_t w, uint8_t* out) {
+    return decode_to_image_impl(data, nbytes, offsets, bits, counts,
+                                n_blocks, zz, block_size, quant, wi, h, w,
+                                nullptr, out);
+}
+
+// P-frame variant: adds the motion-compensated prediction before the
+// clamp (decode mirror of Frame.cpp:107-117).
+int64_t decode_residual_to_image(
+        const uint8_t* data, int64_t nbytes, const int64_t* offsets,
+        const int32_t* bits, const int32_t* counts, int64_t n_blocks,
+        const int32_t* zz, int block_size, const float* quant,
+        const float* wi, int64_t h, int64_t w, const uint8_t* pred,
+        uint8_t* out) {
+    return decode_to_image_impl(data, nbytes, offsets, bits, counts,
+                                n_blocks, zz, block_size, quant, wi, h, w,
+                                pred, out);
+}
+
+// Motion-compensated prediction assembly: every 16x16 macroblock copies
+// its clamped window from the reference frame (Block.cpp:482-496 —
+// position = own coord + mvec, clamped to the frame). mv is [n_mb, 2]
+// (x, y) in row-major macroblock order.
+int64_t predict_frame(const uint8_t* ref, int64_t h, int64_t w,
+                      const int32_t* mv, uint8_t* out) {
+    const int MB = 16;
+    if (h % MB || w % MB) return -1;
+    const int64_t mbx = w / MB, n_mb = mbx * (h / MB);
+    #pragma omp parallel for schedule(static) if (n_mb > 256)
+    for (int64_t m = 0; m < n_mb; m++) {
+        const int64_t bx = (m % mbx) * MB, by = (m / mbx) * MB;
+        int64_t px = bx + mv[2 * m], py = by + mv[2 * m + 1];
+        px = px < 0 ? 0 : (px > w - MB ? w - MB : px);
+        py = py < 0 ? 0 : (py > h - MB ? h - MB : py);
+        for (int r = 0; r < MB; r++)
+            std::memcpy(out + (by + r) * w + bx,
+                        ref + (py + r) * w + px, MB);
     }
     return 0;
 }

@@ -215,3 +215,25 @@ def test_gop2_non_macro_dims_still_rejected(quant):
     video, _ = make_video(w=w, h=h, n=3, seed=21, smooth=False)
     with pytest.raises(ValueError):
         encode_video(video, w, h, quant, True, 2, 16, use_huffman=False)
+
+
+def test_fast_video_decode_matches_numpy(quant):
+    """backend="fast" video decode (fused native per-frame kernel,
+    runtime.cpp::decode_residual_to_image + predict_frame) vs the f64
+    bit-parity path: within the documented +-1 f32 rounding-tie tolerance
+    of the fast backend, identical params, and deterministic under the
+    GOP thread pool."""
+    for seed, gop, mc in ((7, 3, True), (11, 1, True), (13, 5, False)):
+        data, _ = make_video(w=128, h=96, n=7, seed=seed, smooth=False)
+        enc = encode_video(data, 128, 96, quant, True, gop, 16,
+                           use_huffman=True)
+        ya, pa, da = decode_video(enc, motioncomp=mc, backend="numpy")
+        yb, pb, db = decode_video(enc, motioncomp=mc, backend="fast")
+        assert pa == pb and da == db
+        a = np.frombuffer(ya, dtype=np.uint8).astype(int)
+        b = np.frombuffer(yb, dtype=np.uint8).astype(int)
+        diff = np.abs(a - b)
+        assert diff.max() <= 1 and np.mean(diff > 0) < 0.005, (seed, gop, mc)
+        yt, _, _ = decode_video(enc, motioncomp=mc, backend="fast",
+                                workers=4)
+        assert yt == yb, (seed, gop, mc)
