@@ -120,10 +120,11 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
 
     // Byte-level FSM: T[state][byte] -> (next state, emitted symbols).
     // States are tree node ids (<= 511 for a 256-symbol alphabet), so the
-    // table is a few MB and L2-resident.
+    // table is a few MB and L2-resident.  Next state and symbol count are
+    // packed into ONE entry ((nd << 4) | cnt, cnt <= 8) so the state walk
+    // is a single dependent load per byte.
     const int n_nodes = (int)symbol.size();
-    std::vector<int32_t> nxt_tab((size_t)n_nodes * 256);
-    std::vector<uint8_t> cnt_tab((size_t)n_nodes * 256);
+    std::vector<int32_t> step_tab((size_t)n_nodes * 256);
     std::vector<uint8_t> sym_tab((size_t)n_nodes * 256 * 8);
     #ifdef _OPENMP
     #pragma omp parallel for schedule(static)
@@ -143,24 +144,58 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
                     nd = 0;
                 }
             }
-            nxt_tab[(size_t)st * 256 + by] = nd;
-            cnt_tab[(size_t)st * 256 + by] = (uint8_t)c;
+            step_tab[(size_t)st * 256 + by] = (nd << 4) | c;
         }
     }
 
-    // Two-pass parallel decode over whole bytes.  Pass 1 (serial, cheap):
-    // carry only the state + output count to find every chunk's entry
-    // state and output offset — the wire format's one true dependency
-    // chain.  Pass 2: chunks emit symbols independently.
+    // Two-pass parallel decode over whole bytes.  Pass 1 finds every
+    // chunk's entry state and output offset — the wire format's one true
+    // dependency chain.  Rather than walking it serially, each chunk runs
+    // the FSM SPECULATIVELY from the root in parallel, recording its exit
+    // state/count plus the first SYNC_K (state, count) trajectory entries;
+    // Huffman byte-FSMs self-synchronize within a few bytes, so the serial
+    // stitch only walks each chunk's sync prefix (falling back to a full
+    // walk for the rare chunk that never syncs).  Pass 2: chunks emit
+    // symbols independently from their now-exact entry states.
     const int64_t first_byte = pos >> 3;
     const int64_t n_in = nbytes - first_byte;
-    int n_chunks = 1;
+    int n_threads = 1;
     #ifdef _OPENMP
-    n_chunks = omp_get_max_threads();
+    n_threads = omp_get_max_threads();
     #endif
+    int n_chunks = n_threads;
     if (n_chunks > 1 && n_in < (int64_t)1 << 16) n_chunks = 1;
     const int64_t per = (n_in + n_chunks - 1) / n_chunks;
+    const auto chunk_lo = [&](int ci) { return first_byte + (int64_t)ci * per; };
+    const auto chunk_hi = [&](int ci) {
+        const int64_t hi = chunk_lo(ci) + per;
+        return hi < nbytes ? hi : nbytes;
+    };
 
+    constexpr int SYNC_K = 96;
+    std::vector<int32_t> spec_state(n_chunks), spec_traj((size_t)n_chunks * SYNC_K);
+    std::vector<int64_t> spec_count(n_chunks);
+    std::vector<int64_t> spec_pref((size_t)n_chunks * SYNC_K);
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+    #endif
+    for (int ci = 0; ci < n_chunks; ci++) {
+        int32_t s = ci == 0 ? node : 0;  // chunk 0's entry state IS known;
+        int64_t cnt = 0;                 // others speculate from the root
+        int32_t* traj = &spec_traj[(size_t)ci * SYNC_K];
+        int64_t* pref = &spec_pref[(size_t)ci * SYNC_K];
+        const int64_t lo = chunk_lo(ci), hi = chunk_hi(ci);
+        for (int64_t i = lo; i < hi; i++) {
+            const int32_t e = step_tab[(size_t)s * 256 + data[i]];
+            cnt += e & 15;
+            s = e >> 4;
+            if (i - lo < SYNC_K) { traj[i - lo] = s; pref[i - lo] = cnt; }
+        }
+        spec_state[ci] = s;
+        spec_count[ci] = cnt;
+    }
+
+    // Serial stitch: true entry state/offset per chunk via sync prefixes.
     std::vector<int32_t> entry_state(n_chunks);
     std::vector<int64_t> entry_out(n_chunks);
     int32_t st = node;
@@ -168,13 +203,33 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
     for (int ci = 0; ci < n_chunks; ci++) {
         entry_state[ci] = st;
         entry_out[ci] = total;
-        const int64_t lo = first_byte + (int64_t)ci * per;
-        const int64_t hi = lo + per < nbytes ? lo + per : nbytes;
-        for (int64_t i = lo; i < hi; i++) {
-            const size_t idx = (size_t)st * 256 + data[i];
-            total += cnt_tab[idx];
-            st = nxt_tab[idx];
+        const int64_t lo = chunk_lo(ci), hi = chunk_hi(ci);
+        if (ci == 0 || st == 0) {  // speculation ran the true entry state
+            total += spec_count[ci];
+            st = spec_state[ci];
+            continue;
         }
+        const int32_t* traj = &spec_traj[(size_t)ci * SYNC_K];
+        const int64_t* pref = &spec_pref[(size_t)ci * SYNC_K];
+        int64_t i = lo;
+        bool synced = false;
+        for (; i < hi && i - lo < SYNC_K; i++) {
+            const int32_t e = step_tab[(size_t)st * 256 + data[i]];
+            total += e & 15;
+            st = e >> 4;
+            if (st == traj[i - lo]) {  // trajectories merged: rest is exact
+                total += spec_count[ci] - pref[i - lo];
+                st = spec_state[ci];
+                synced = true;
+                break;
+            }
+        }
+        if (!synced)
+            for (; i < hi; i++) {
+                const int32_t e = step_tab[(size_t)st * 256 + data[i]];
+                total += e & 15;
+                st = e >> 4;
+            }
     }
     if (total > out_cap) return -1;
 
@@ -184,14 +239,14 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
     for (int ci = 0; ci < n_chunks; ci++) {
         int32_t s2 = entry_state[ci];
         uint8_t* op = out + entry_out[ci];
-        const int64_t lo = first_byte + (int64_t)ci * per;
-        const int64_t hi = lo + per < nbytes ? lo + per : nbytes;
+        const int64_t lo = chunk_lo(ci), hi = chunk_hi(ci);
         for (int64_t i = lo; i < hi; i++) {
             const size_t idx = (size_t)s2 * 256 + data[i];
-            const int c = cnt_tab[idx];
+            const int32_t e = step_tab[idx];
+            const int c = e & 15;
             const uint8_t* sy = &sym_tab[idx * 8];
             for (int k = 0; k < c; k++) *op++ = sy[k];
-            s2 = nxt_tab[idx];
+            s2 = e >> 4;
         }
     }
     return total;
