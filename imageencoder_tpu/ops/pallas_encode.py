@@ -58,16 +58,40 @@ def coeff_bound_bits(block_size: int, norm: str) -> int:
     return max(mag.bit_length() + 1, (block_size * block_size).bit_length(), 1)
 
 
-def frontend_lw(block_size: int, norm: str) -> int:
-    """Register words per record under the coefficient bound."""
-    db = coeff_bound_bits(block_size, norm)
+def coeff_bound_bits_residual(block_size: int, norm: str) -> int:
+    """Like :func:`coeff_bound_bits` but for P-frame RESIDUAL input: the
+    DCT sees residual-128 in [-383, 127] (residual = cur - pred in
+    [-255, 255], then the shared SUBTRACT_128 bias, Block.cpp:139-153), so
+    the magnitude bound scales by 383/128."""
+    d = np.abs(np.asarray(dct_matrix(block_size, norm), np.float64))
+    r = d.sum(axis=1).max()
+    mag = int(np.ceil(383.0 * r * r))
+    return max(mag.bit_length() + 1, (block_size * block_size).bit_length(), 1)
+
+
+def lw_for_bits(block_size: int, db: int) -> int:
+    """Register words per record for a data_bits bound of db."""
     k2 = block_size * block_size
     return -(-(4 + db + k2 * db) // 32)
 
 
-def frontend_rows(block_size: int, norm: str) -> int:
+def rows_for_lw(lw: int) -> int:
     """Output sublane count: lw register words + 1 length row, padded to 8."""
-    return -(-(frontend_lw(block_size, norm) + 1) // 8) * 8
+    return -(-(lw + 1) // 8) * 8
+
+
+def frontend_lw(block_size: int, norm: str) -> int:
+    """Register words per record under the u8-pixel coefficient bound."""
+    return lw_for_bits(block_size, coeff_bound_bits(block_size, norm))
+
+
+def frontend_rows(block_size: int, norm: str) -> int:
+    return rows_for_lw(frontend_lw(block_size, norm))
+
+
+def video_lw(block_size: int, norm: str) -> int:
+    """Register words per record under the residual-range bound (video)."""
+    return lw_for_bits(block_size, coeff_bound_bits_residual(block_size, norm))
 
 
 def frontend_matrices(block_size: int, norm: str):
@@ -238,6 +262,34 @@ def blockify_columns(img, block_size: int, n_pad: int):
     return x
 
 
+def encode_locals_cols(x, n_records: int, quant, block_size: int = 4,
+                       use_rle: bool = True, norm: str = "reference",
+                       db: int | None = None, interpret: bool = False):
+    """Column-blocked front end: x f32 [B*B, n_pad] (biased DCT input,
+    see blockify_columns) -> locals u32 [rows_for_lw(lw), n_pad].
+
+    db overrides the data_bits bound (video residual input needs
+    coeff_bound_bits_residual); lw = lw_for_bits(block_size, db) and the
+    caller must pass the SAME lw to pack_locals_pallas.
+    """
+    import jax.numpy as jnp
+
+    b = block_size
+    if db is None:
+        db = coeff_bound_bits(b, norm)
+    n_pad = x.shape[1]
+    assert n_pad % CHUNK == 0
+    lw = lw_for_bits(b, db)
+
+    a, bz, zz = frontend_matrices(b, norm)
+    q = jnp.asarray(quant, jnp.float32).reshape(-1)[jnp.asarray(zz)]
+    qtile = jnp.broadcast_to(q[:, None], (b * b, CHUNK))
+
+    call = _frontend_call(n_pad // CHUNK, n_records, b, use_rle, db, lw,
+                          rows_for_lw(lw), interpret)
+    return call(x, jnp.asarray(a), jnp.asarray(bz), qtile)
+
+
 def encode_locals(img, quant, block_size: int = 4, use_rle: bool = True,
                   norm: str = "reference", interpret: bool = False):
     """[H, W] u8 image -> (locals u32 [ROWS_PAD, N_pad], n_records).
@@ -246,21 +298,57 @@ def encode_locals(img, quant, block_size: int = 4, use_rle: bool = True,
     packed words; row lw: record bit length.  Feed to
     ops/pallas_pack.pack_locals_pallas with the same lw.
     """
-    import jax.numpy as jnp
-
     b = block_size
     h, w = img.shape
     n = (h // b) * (w // b)
-    n_chunks = max(1, -(-n // CHUNK))
-    n_pad = n_chunks * CHUNK
-
-    a, bz, zz = frontend_matrices(b, norm)
-    q = jnp.asarray(quant, jnp.float32).reshape(-1)[jnp.asarray(zz)]
-    qtile = jnp.broadcast_to(q[:, None], (b * b, CHUNK))
+    n_pad = max(1, -(-n // CHUNK)) * CHUNK
 
     x = blockify_columns(img, b, n_pad)
-    call = _frontend_call(n_chunks, n, b, use_rle,
-                          coeff_bound_bits(b, norm), frontend_lw(b, norm),
-                          frontend_rows(b, norm), interpret)
-    locals_ = call(x, jnp.asarray(a), jnp.asarray(bz), qtile)
+    locals_ = encode_locals_cols(x, n, quant, b, use_rle, norm,
+                                 interpret=interpret)
     return locals_, n
+
+
+def mvec_locals(mvec, is_i, mvec_nbits: int, rows_pad: int, lw: int):
+    """Motion-vector records as register files: u32 [rows_pad, F*Nmacro].
+
+    Each P-frame MacroBlock record is two mvec_nbits-bit fields packed
+    MSB-first into register word 0 (2*mvec_nbits <= 32 always: merange is
+    15-bit); I-frame rows have zero length (emit nothing).  Layout matches
+    encode_locals_cols output so the two interleave row-wise.
+    """
+    import jax.numpy as jnp
+
+    nb = mvec_nbits
+    f, n_macro, _ = mvec.shape
+    mask = jnp.uint32((1 << nb) - 1)
+    m0 = mvec[:, :, 0].astype(jnp.uint32) & mask
+    m1 = mvec[:, :, 1].astype(jnp.uint32) & mask
+    word0 = (m0 << (32 - nb)) | (m1 << (32 - 2 * nb))
+    live = jnp.broadcast_to(~is_i[:, None], (f, n_macro))
+    word0 = jnp.where(live, word0, jnp.uint32(0)).reshape(1, f * n_macro)
+    lens = jnp.where(live, jnp.uint32(2 * nb),
+                     jnp.uint32(0)).reshape(1, f * n_macro)
+    zero_mid = jnp.zeros((lw - 1, f * n_macro), jnp.uint32)
+    zero_tail = jnp.zeros((rows_pad - lw - 1, f * n_macro), jnp.uint32)
+    return jnp.concatenate([word0, zero_mid, lens, zero_tail], axis=0)
+
+
+def interleave_video_locals(block_locals, mv_locals, n_frames: int):
+    """Stream-order record interleave: per frame, Nmacro mvec records then
+    Nmicro block records (VideoEncoder.cpp:64-91 layout), padded to a
+    CHUNK multiple with zero-length records (packer no-ops)."""
+    import jax.numpy as jnp
+
+    r = block_locals.shape[0]
+    n_micro = block_locals.shape[1] // n_frames
+    n_macro = mv_locals.shape[1] // n_frames
+    merged = jnp.concatenate(
+        [mv_locals.reshape(r, n_frames, n_macro),
+         block_locals.reshape(r, n_frames, n_micro)], axis=2)
+    n = n_frames * (n_macro + n_micro)
+    merged = merged.reshape(r, n)
+    n_pad = max(1, -(-n // CHUNK)) * CHUNK
+    if n_pad > n:
+        merged = jnp.pad(merged, ((0, 0), (0, n_pad - n)))
+    return merged

@@ -66,6 +66,11 @@ def _batched_motion_sadmap(frames, merange: int):
     return sad_motion_search(frames, refu8, merange)
 
 
+# SAD-map backend: "auto" (Pallas kernel on TPU, lax.scan elsewhere),
+# "scan", "pallas", or "interpret" (Pallas in interpret mode — tests).
+_SAD_MAPS_MODE = "auto"
+
+
 def sad_motion_search(cur_u8, ref_u8, merange: int):
     """Gather-free search core: cur/ref [F,H,W] u8 (explicit references).
 
@@ -91,35 +96,57 @@ def sad_motion_search(cur_u8, ref_u8, merange: int):
     else:
         d = 2 * (m - 1) + 1
         pad = m - 1
-        refp = jnp.pad(ref, ((0, 0), (pad, pad), (pad, pad)))
-
-        def pool(x):  # [F,H,W] -> [F,nby,nbx] 16x16 block sums
-            x = x.reshape(f, nby, MACRO, w).sum(axis=2)
-            return x.reshape(f, nby, nbx, MACRO).sum(axis=3)
-
-        def sad_at(carry, od):
-            dy, dx = od[0], od[1]
-            shifted = jax.lax.dynamic_slice(refp, (0, pad + dy, pad + dx),
-                                            (f, h, w))
-            return carry, pool(jnp.abs(cur - shifted))
-
-        offsets = jnp.stack(jnp.meshgrid(jnp.arange(-pad, pad + 1),
-                                         jnp.arange(-pad, pad + 1),
-                                         indexing="ij"),
-                            axis=-1).reshape(-1, 2)  # [(dy,dx)] row-major
-        _, s_maps = jax.lax.scan(sad_at, 0, offsets)
-        s = s_maps.reshape(d, d, f, n)  # [dy, dx, f, block]
-
         fidx = jnp.arange(f, dtype=jnp.int32)[:, None]
         bidx = jnp.arange(n, dtype=jnp.int32)[None, :]
 
-        def lookup(cand):
-            dx_eff = jnp.clip(bx[None, :] + cand[:, :, 0], 0, w - MACRO) \
-                - bx[None, :]
-            dy_eff = jnp.clip(by[None, :] + cand[:, :, 1], 0, h - MACRO) \
-                - by[None, :]
-            sad = s[dy_eff + pad, dx_eff + pad, fidx, bidx]
-            return sad, (dx_eff == 0) & (dy_eff == 0)
+        use_pallas = (jax.default_backend() == "tpu"
+                      if _SAD_MAPS_MODE == "auto"
+                      else _SAD_MAPS_MODE != "scan")
+        if use_pallas:
+            # VMEM-resident all-offsets kernel (ops/pallas_motion.py):
+            # one HBM read of the frames instead of D^2 — ~20x on v5e.
+            from .pallas_motion import LANE, sad_maps_pallas
+
+            s4 = sad_maps_pallas(cur_u8, ref_u8, m,
+                                 interpret=_SAD_MAPS_MODE == "interpret")
+            byi = bidx // nbx
+            bxi = bidx % nbx
+
+            def lookup(cand):
+                dx_eff = jnp.clip(bx[None, :] + cand[:, :, 0], 0, w - MACRO) \
+                    - bx[None, :]
+                dy_eff = jnp.clip(by[None, :] + cand[:, :, 1], 0, h - MACRO) \
+                    - by[None, :]
+                sad = s4[fidx, dy_eff + pad, byi,
+                         (dx_eff + pad) * LANE + bxi].astype(jnp.int32)
+                return sad, (dx_eff == 0) & (dy_eff == 0)
+        else:
+            refp = jnp.pad(ref, ((0, 0), (pad, pad), (pad, pad)))
+
+            def pool(x):  # [F,H,W] -> [F,nby,nbx] 16x16 block sums
+                x = x.reshape(f, nby, MACRO, w).sum(axis=2)
+                return x.reshape(f, nby, nbx, MACRO).sum(axis=3)
+
+            def sad_at(carry, od):
+                dy, dx = od[0], od[1]
+                shifted = jax.lax.dynamic_slice(
+                    refp, (0, pad + dy, pad + dx), (f, h, w))
+                return carry, pool(jnp.abs(cur - shifted))
+
+            offsets = jnp.stack(jnp.meshgrid(jnp.arange(-pad, pad + 1),
+                                             jnp.arange(-pad, pad + 1),
+                                             indexing="ij"),
+                                axis=-1).reshape(-1, 2)  # [(dy,dx)] row-major
+            _, s_maps = jax.lax.scan(sad_at, 0, offsets)
+            s = s_maps.reshape(d, d, f, n)  # [dy, dx, f, block]
+
+            def lookup(cand):
+                dx_eff = jnp.clip(bx[None, :] + cand[:, :, 0], 0, w - MACRO) \
+                    - bx[None, :]
+                dy_eff = jnp.clip(by[None, :] + cand[:, :, 1], 0, h - MACRO) \
+                    - by[None, :]
+                sad = s[dy_eff + pad, dx_eff + pad, fidx, bidx]
+                return sad, (dx_eff == 0) & (dy_eff == 0)
 
         off = jnp.zeros((f, n, 2), dtype=jnp.int32)
         best = jnp.full((f, n), jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
@@ -137,10 +164,25 @@ def sad_motion_search(cur_u8, ref_u8, merange: int):
             off = sel
             best = running
 
-    # Single window gather for the final predictions.
-    r = jnp.arange(MACRO)
     px = jnp.clip(bx[None, :] + off[:, :, 0], 0, w - MACRO)
     py = jnp.clip(by[None, :] + off[:, :, 1], 0, h - MACRO)
+    if m >= 2 and (jax.default_backend() == "tpu"
+                   if _SAD_MAPS_MODE == "auto"
+                   else _SAD_MAPS_MODE != "scan"):
+        # Gather-free prediction: per-window element gathers cost ~330 ms
+        # at 720p25 on v5e; the masked-translate kernel is the mirror of
+        # the SAD-map trick (ops/pallas_motion.py).
+        from .pallas_motion import predict_translate_pallas
+
+        dx_eff = (px - bx[None, :]).reshape(f, nby, nbx)
+        dy_eff = (py - by[None, :]).reshape(f, nby, nbx)
+        pred = predict_translate_pallas(
+            ref_u8, dy_eff, dx_eff, m,
+            interpret=_SAD_MAPS_MODE == "interpret")
+        return off, pred
+
+    # Single window gather for the final predictions.
+    r = jnp.arange(MACRO)
     win = ref_u8[jnp.arange(f)[:, None, None, None],
                 py[:, :, None, None] + r[None, None, :, None],
                 px[:, :, None, None] + r[None, None, None, :]]
@@ -205,6 +247,35 @@ def _batched_motion(frames, gop: int, merange: int):
     pred = win.reshape(f, h // MACRO, nbx, MACRO, MACRO) \
               .swapaxes(2, 3).reshape(f, h, w)
     return off, pred
+
+
+def _encode_video_locals(x_tall, mvec, is_i, quant, n_frames: int,
+                         mvec_nbits: int, b: int, use_rle: bool, norm: str,
+                         start_bit, n_words: int, interpret: bool = False):
+    """Fused-front-end video pack: [F*H, W] f32 DCT input (pre-bias) +
+    mvecs -> (words, total).  Block records run through encode_locals_cols
+    with the residual-range data_bits bound; mvec records become
+    single-word register files; both interleave per frame in stream order
+    (mvecs first, VideoEncoder.cpp:64-91) and feed the merge-only Pallas
+    packer.  Bit-identical to the fields path (test_video_device.py)."""
+    from .pallas_encode import (CHUNK, blockify_columns,
+                                coeff_bound_bits_residual, encode_locals_cols,
+                                interleave_video_locals, lw_for_bits,
+                                mvec_locals, rows_for_lw)
+    from .pallas_pack import pack_locals_pallas
+
+    db = coeff_bound_bits_residual(b, norm)
+    lw = lw_for_bits(b, db)
+    th, w = x_tall.shape
+    n_blocks = (th // b) * (w // b)
+    n_bpad = max(1, -(-n_blocks // CHUNK)) * CHUNK
+    xc = blockify_columns(x_tall, b, n_bpad)
+    bl = encode_locals_cols(xc, n_blocks, quant, b, use_rle, norm, db=db,
+                            interpret=interpret)[:, :n_blocks]
+    ml = mvec_locals(mvec, is_i, mvec_nbits, rows_for_lw(lw), lw)
+    merged = interleave_video_locals(bl, ml, n_frames)
+    return pack_locals_pallas(merged, lw, start_bit, n_words,
+                              interpret=interpret)
 
 
 @lru_cache(maxsize=None)
@@ -417,33 +488,42 @@ def make_encode_video_packed(gop: int, merange: int, mvec_nbits: int,
         x = jnp.where(jnp.asarray(is_i)[:, None, None],
                       frames.astype(jnp.float32),
                       frames.astype(jnp.float32) - pred.astype(jnp.float32))
-        # One transform implementation everywhere (ops/pipeline.py —
-        # Pallas kernel on TPU): stacking frames vertically preserves
-        # every block row, so the whole video is one call.
-        from .pipeline import transform_quantize
-
-        coeffs_zz = transform_quantize(x.reshape(f * h, w), quant,
-                                       jnp.asarray(dct_m), b)
-        bvals, bnbits = fields_from_coeffs(coeffs_zz, use_rle)  # [F*Nmicro, k+2]
-        bvals = bvals.reshape(f, n_micro, k + 2)
-        bnbits = bnbits.reshape(f, n_micro, k + 2)
-
-        # Motion-vector records: [F, Nmacro, k+2] with 2 live fields.
-        mask = (1 << mvec_nbits) - 1
-        mvals = jnp.zeros((f, n_macro, k + 2), dtype=jnp.int32)
-        mnbits = jnp.zeros((f, n_macro, k + 2), dtype=jnp.int32)
-        mvals = mvals.at[:, :, 0].set(mvec[:, :, 0] & mask)
-        mvals = mvals.at[:, :, 1].set(mvec[:, :, 1] & mask)
-        mnbits = mnbits.at[:, :, :2].set(mvec_nbits)
-        p_rows = ~jnp.asarray(is_i)[:, None, None]
-        mnbits = jnp.where(p_rows, mnbits, 0)  # I-frames emit no mvecs
-
-        # Stream order: per frame, mvec rows then block rows.
-        vals = jnp.concatenate([mvals, bvals], axis=1).reshape(-1, k + 2)
-        nbits = jnp.concatenate([mnbits, bnbits], axis=1).reshape(-1, k + 2)
         n_rows = f * (n_macro + n_micro)
-        words, total = pack_blocks_device(vals, nbits, start_bit,
-                                          packed_words_bound(n_rows, k + 2))
+        n_words = packed_words_bound(n_rows, k + 2)
+        if jax.default_backend() == "tpu":
+            # Fused front end (ops/pallas_encode.py), residual-range
+            # data_bits bound: stacking frames vertically preserves every
+            # block row, so the whole video is ONE front-end pass; mvec
+            # records are built as register files directly and interleaved
+            # in stream order before the merge-only packer.
+            words, total = _encode_video_locals(
+                x.reshape(f * h, w), mvec, jnp.asarray(is_i), quant, f,
+                mvec_nbits, b, use_rle, norm, start_bit, n_words)
+        else:
+            from .pipeline import transform_quantize
+
+            coeffs_zz = transform_quantize(x.reshape(f * h, w), quant,
+                                           jnp.asarray(dct_m), b)
+            bvals, bnbits = fields_from_coeffs(coeffs_zz, use_rle)
+            bvals = bvals.reshape(f, n_micro, k + 2)
+            bnbits = bnbits.reshape(f, n_micro, k + 2)
+
+            # Motion-vector records: [F, Nmacro, k+2] with 2 live fields.
+            mask = (1 << mvec_nbits) - 1
+            mvals = jnp.zeros((f, n_macro, k + 2), dtype=jnp.int32)
+            mnbits = jnp.zeros((f, n_macro, k + 2), dtype=jnp.int32)
+            mvals = mvals.at[:, :, 0].set(mvec[:, :, 0] & mask)
+            mvals = mvals.at[:, :, 1].set(mvec[:, :, 1] & mask)
+            mnbits = mnbits.at[:, :, :2].set(mvec_nbits)
+            p_rows = ~jnp.asarray(is_i)[:, None, None]
+            mnbits = jnp.where(p_rows, mnbits, 0)  # I-frames emit no mvecs
+
+            # Stream order: per frame, mvec rows then block rows.
+            vals = jnp.concatenate([mvals, bvals], axis=1).reshape(-1, k + 2)
+            nbits = jnp.concatenate([mnbits, bnbits],
+                                    axis=1).reshape(-1, k + 2)
+            words, total = pack_blocks_device(vals, nbits, start_bit,
+                                              n_words)
         words = words.at[:HEADER_WORDS].set(words[:HEADER_WORDS]
                                             | header_words)
         if with_hist:

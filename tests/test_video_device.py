@@ -171,3 +171,66 @@ def test_long_video_gop_chunking_identical(quant):
                       jnp.asarray(header_to_words(w.getvalue())))
     unchunked = words_to_bytes(words, int(total))
     assert chunked == unchunked
+
+
+def test_fused_video_locals_pack_matches_fields_path(quant):
+    """_encode_video_locals (fused front end + mvec register files +
+    merge-only packer, interpret mode) is bit-identical to the fields
+    path packed with pack_blocks_device, on the SAME Kronecker-form
+    coefficients (the kernel's numeric definition; test_pallas_encode.py
+    validates that form against the einsum path separately)."""
+    from imageencoder_tpu.models.video import mvec_bits
+    from imageencoder_tpu.ops.device_pack import (pack_blocks_device,
+                                                  packed_words_bound)
+    from imageencoder_tpu.ops.pipeline import fields_from_coeffs
+    from imageencoder_tpu.ops.video_pipeline import (_batched_motion_sadmap,
+                                                     _encode_video_locals)
+    from tests.test_pallas_encode import kron_coeffs
+
+    f, h, w, gop, merange = 5, 64, 64, 2, 8
+    data, frames_list = make_video(w=w, h=h, n=f, seed=31, smooth=False)
+    frames = jnp.asarray(np.stack(frames_list))
+    is_i = np.array([fi % gop == 0 for fi in range(f)])
+    mvec, pred = _batched_motion_sadmap(frames, merange)
+    x = jnp.where(jnp.asarray(is_i)[:, None, None],
+                  frames.astype(jnp.float32),
+                  frames.astype(jnp.float32) - pred.astype(jnp.float32))
+    nb = mvec_bits(merange)
+    k = 16
+    n_micro = (h // 4) * (w // 4)
+    n_macro = (h // 16) * (w // 16)
+    n_rows = f * (n_macro + n_micro)
+    n_words = packed_words_bound(n_rows, k + 2)
+    start_bit = 50
+
+    got_words, got_total = _encode_video_locals(
+        x.reshape(f * h, w), mvec, jnp.asarray(is_i),
+        jnp.asarray(quant.as_float(np.float32)), f, nb, 4, True,
+        "reference", jnp.asarray(start_bit, jnp.int32), n_words,
+        interpret=True)
+
+    # Expected: same coefficients through the fields path.
+    # kron_coeffs applies the shared -128 bias itself (blockify_columns),
+    # so it takes x (pixels for I rows, residual for P rows) directly.
+    cz = kron_coeffs(np.asarray(x).reshape(f * h, w),
+                     quant.as_float(np.float32), 4, "reference")
+    bvals, bnbits = fields_from_coeffs(cz, True)
+    bvals = bvals.reshape(f, n_micro, k + 2)
+    bnbits = bnbits.reshape(f, n_micro, k + 2)
+    mask = (1 << nb) - 1
+    mvals = np.zeros((f, n_macro, k + 2), np.int32)
+    mnbits = np.zeros((f, n_macro, k + 2), np.int32)
+    mvals[:, :, 0] = np.asarray(mvec)[:, :, 0] & mask
+    mvals[:, :, 1] = np.asarray(mvec)[:, :, 1] & mask
+    mnbits[:, :, :2] = nb
+    mnbits[is_i] = 0
+    vals = np.concatenate([mvals, np.asarray(bvals)], axis=1).reshape(-1, k + 2)
+    nbits = np.concatenate([mnbits, np.asarray(bnbits)], axis=1).reshape(-1, k + 2)
+    want_words, want_total = pack_blocks_device(
+        jnp.asarray(vals), jnp.asarray(nbits),
+        jnp.asarray(start_bit, jnp.int32), n_words)
+
+    assert int(got_total) == int(want_total)
+    nw = (int(want_total) + 31) // 32
+    np.testing.assert_array_equal(np.asarray(got_words)[:nw],
+                                  np.asarray(want_words)[:nw])
