@@ -300,7 +300,6 @@ def make_sharded_video_packed(mesh, gop: int, merange: int, mvec_nbits: int,
     m = int(merange)
     mb = int(mvec_nbits)
     dct_m = np.asarray(dct_matrix(b, norm), dtype=np.float32)
-    zz = zigzag_order(b)
     f_ax = mesh.shape["frame"]
     s_ax = mesh.shape["block"]
     gop = max(1, gop)
@@ -412,14 +411,14 @@ def make_sharded_video_packed(mesh, gop: int, merange: int, mvec_nbits: int,
                           - pred.astype(jnp.float32))
             from ..ops.pipeline import quantize_image
 
+            # Reconstruction (Block.cpp:111-119; I-frames stay raw,
+            # Frame.cpp:130-159).  Only the recon carry needs the
+            # quantized coefficients inside the step — the wire fields
+            # are produced post-scan (fused Pallas front end on TPU); in
+            # raw mode XLA dead-code-eliminates this whole branch.
             qimg = quantize_image(x, quant, d, b)       # [h_loc, w] int32
             q = qimg.reshape(mby, b, mbx, b).swapaxes(1, 2) \
                     .reshape(n_micro, b, b)
-            coeffs_zz = q.reshape(n_micro, k)[:, jnp.asarray(zz)]
-            vals, nbits = fields_from_coeffs(coeffs_zz, use_rle)
-
-            # Reconstruction (Block.cpp:111-119; I-frames stay raw,
-            # Frame.cpp:130-159).
             deq = q.astype(jnp.float32) * qf
             expanded = jnp.einsum("ui,nuv,vj->nij", d, deq, d,
                                   precision=jax.lax.Precision.HIGHEST) \
@@ -429,13 +428,13 @@ def make_sharded_video_packed(mesh, gop: int, merange: int, mvec_nbits: int,
             recon = jnp.floor(jnp.clip(pred.astype(jnp.float32) + exp_img,
                                        0.0, 255.0)).astype(jnp.uint8)
             recon = jnp.where(i_frame, cur, recon)
-            return off, vals, nbits, recon
+            return off, x, recon
 
         def scan_body(carry, inp):
             cur, i_frame = inp
-            off, vals, nbits, recon = one_frame(carry, cur, i_frame)
+            off, x, recon = one_frame(carry, cur, i_frame)
             new_carry = cur if ref_mode == "raw" else recon
-            return new_carry, (off, vals, nbits)
+            return new_carry, (off, x)
 
         if ref_mode == "raw":
             # Cross-chunk raw reference: previous chunk's last frame.
@@ -444,30 +443,69 @@ def make_sharded_video_packed(mesh, gop: int, merange: int, mvec_nbits: int,
                 [(i, (i + 1) % f_ax) for i in range(f_ax)])
         else:
             init = jnp.zeros((h_loc, w), jnp.uint8)  # chunk starts a GOP
-        _, (off_all, bvals, bnbits) = jax.lax.scan(
+        _, (off_all, x_all) = jax.lax.scan(
             scan_body, init, (frames, is_i))
 
         mask = (1 << mb) - 1
         mvals = jnp.where(is_i[:, None, None], 0, off_all & mask)
 
-        # ---- device packing of both segment kinds, per local frame ----
+        # ---- wire fields + device packing, per local frame ----
         lw_blk = local_words(k + 2)
         lw_mv = local_words(2)
         wblk = n_micro * lw_blk + 2
         wmv = n_mb * lw_mv + 2
-        mv_nb = jnp.where(is_i[:, None, None], 0,
-                          jnp.full((f_loc, n_mb, 2), mb, jnp.int32))
-        blk_w, mv_w = [], []
-        for i in range(f_loc):
-            bw, _ = pack_blocks_device(bvals[i], bnbits[i], jnp.int32(0),
-                                       wblk)
-            mw, _ = pack_blocks_device(mvals[i], mv_nb[i], jnp.int32(0),
-                                       wmv)
-            blk_w.append(bw)
-            mv_w.append(mw)
-        blk_words = jnp.stack(blk_w)
-        mv_words = jnp.stack(mv_w)
-        blk_bits = jnp.sum(bnbits, axis=(1, 2), dtype=jnp.int32)  # [f_loc]
+        if jax.default_backend() == "tpu":
+            # Round-3 fused Pallas front end with the residual-range
+            # data_bits bound (ops/pallas_encode.py) + merge-only packer —
+            # the same transform-side win the single-chip video path got
+            # (make_encode_video_packed), now per shard.
+            from ..ops.pallas_encode import (
+                CHUNK, blockify_columns, coeff_bound_bits_residual,
+                encode_locals_cols, lw_for_bits, mvec_locals, rows_for_lw)
+            from ..ops.pallas_pack import pack_locals_pallas
+
+            db = coeff_bound_bits_residual(b, norm)
+            flw = lw_for_bits(b, db)
+            n_bpad = max(1, -(-n_micro // CHUNK)) * CHUNK
+            n_mpad = max(1, -(-n_mb // CHUNK)) * CHUNK
+            blk_w, mv_w, bits_l = [], [], []
+            for i in range(f_loc):
+                xc = blockify_columns(x_all[i], b, n_bpad)
+                bl = encode_locals_cols(xc, n_micro, quant, b, use_rle,
+                                        norm, db=db)
+                bw, btot = pack_locals_pallas(bl, flw, jnp.int32(0), wblk)
+                ml = mvec_locals(mvals[i][None], is_i[i][None], mb,
+                                 rows_for_lw(flw), flw)
+                ml = jnp.pad(ml, ((0, 0), (0, n_mpad - n_mb)))
+                mw, _ = pack_locals_pallas(ml, flw, jnp.int32(0), wmv)
+                blk_w.append(bw)
+                mv_w.append(mw)
+                bits_l.append(btot)
+            blk_words = jnp.stack(blk_w)
+            mv_words = jnp.stack(mv_w)
+            blk_bits = jnp.stack(bits_l).astype(jnp.int32)  # [f_loc]
+        else:
+            from ..ops.pipeline import transform_quantize
+
+            coeffs_zz = transform_quantize(
+                x_all.reshape(f_loc * h_loc, w), quant, d, b)
+            bvals, bnbits = fields_from_coeffs(coeffs_zz, use_rle)
+            bvals = bvals.reshape(f_loc, n_micro, k + 2)
+            bnbits = bnbits.reshape(f_loc, n_micro, k + 2)
+            mv_nb = jnp.where(is_i[:, None, None], 0,
+                              jnp.full((f_loc, n_mb, 2), mb, jnp.int32))
+            blk_w, mv_w = [], []
+            for i in range(f_loc):
+                bw, _ = pack_blocks_device(bvals[i], bnbits[i],
+                                           jnp.int32(0), wblk)
+                mw, _ = pack_blocks_device(mvals[i], mv_nb[i], jnp.int32(0),
+                                           wmv)
+                blk_w.append(bw)
+                mv_w.append(mw)
+            blk_words = jnp.stack(blk_w)
+            mv_words = jnp.stack(mv_w)
+            blk_bits = jnp.sum(bnbits, axis=(1, 2),
+                               dtype=jnp.int32)         # [f_loc]
 
         # Full [F, S] block-bit matrix (two tiny all_gathers).
         g1 = jax.lax.all_gather(blk_bits, "block")       # [S, f_loc]
