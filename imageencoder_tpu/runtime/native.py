@@ -27,13 +27,12 @@ def _load():
         return _LIB
     _TRIED = True
     so = pathlib.Path(__file__).parent / "native" / "libier_runtime.so"
-    if not so.exists():
-        try:
-            from .build import build
+    try:
+        from .build import build
 
-            build()
-        except Exception:
-            return None
+        build()  # no-op when the .so is newer than runtime.cpp
+    except Exception:
+        pass  # stale/failed build: fall back to an existing .so if any
     if not so.exists():
         return None
     lib = ctypes.CDLL(str(so))

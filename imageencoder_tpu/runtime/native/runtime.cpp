@@ -58,9 +58,36 @@ int64_t walk_offsets(const uint8_t* data, int64_t nbytes, int64_t start_bit,
                      int64_t n_blocks, int use_rle, int block_size,
                      int64_t* out_offsets, int32_t* out_bits,
                      int32_t* out_counts) {
-    BitReader r{data, nbytes * 8, start_bit};
     const int64_t k = (int64_t)block_size * block_size;
-    for (int64_t i = 0; i < n_blocks; i++) {
+    int64_t pos = start_bit;
+    int64_t i = 0;
+    // Fast path: one unaligned big-endian 64-bit load covers the 4-bit
+    // width and the <=15-bit count (<= 19 bits even at a 7-bit phase), so
+    // each record costs one load + shifts instead of up to 19 dependent
+    // per-bit reads.  Bail to the safe bit reader when a load could
+    // overrun the buffer (reads past the end must return 0 bits,
+    // reference BitStream.cpp:14-28).
+    for (; i < n_blocks; i++) {
+        if (pos < 0 || (pos >> 3) + 9 > nbytes) break;
+        uint64_t w;
+        std::memcpy(&w, data + (pos >> 3), 8);
+        w = __builtin_bswap64(w) << (pos & 7);
+        const uint32_t b = (uint32_t)(w >> 60);
+        int64_t count;
+        if (use_rle) {
+            count = b ? (int64_t)((w << 4) >> (64 - b)) : 0;
+            pos += 4 + b;
+        } else {
+            count = k;
+            pos += 4;
+        }
+        out_offsets[i] = pos;
+        out_bits[i] = (int32_t)b;
+        out_counts[i] = (int32_t)count;
+        pos += (int64_t)b * count;
+    }
+    BitReader r{data, nbytes * 8, pos};
+    for (; i < n_blocks; i++) {
         const uint32_t b = r.get(4);
         const int64_t count = use_rle ? (int64_t)r.get((int)b) : k;
         out_offsets[i] = r.pos;
