@@ -20,6 +20,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <vector>
 
 #ifdef _OPENMP
@@ -151,18 +152,18 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
     // packed into ONE entry ((nd << 4) | cnt, cnt <= 8) so the state walk
     // is a single dependent load per byte.
     const int n_nodes = (int)symbol.size();
-    std::vector<int32_t> step_tab((size_t)n_nodes * 256);
-    std::vector<uint8_t> sym_tab((size_t)n_nodes * 256 * 8);
-    #ifdef _OPENMP
-    #pragma omp parallel for schedule(static)
-    #endif
+    // Nibble table first (n_nodes x 16, 4 tree steps per entry), then the
+    // byte table by COMPOSITION (2 nibble lookups per entry) — ~8x cheaper
+    // than walking 8 tree levels for each of the n_nodes*256 entries.
+    std::vector<int32_t> step4((size_t)n_nodes * 16);
+    std::vector<uint8_t> sym4((size_t)n_nodes * 16 * 4);
     for (int st = 0; st < n_nodes; st++) {
-        for (int by = 0; by < 256; by++) {
+        for (int nib = 0; nib < 16; nib++) {
             int32_t nd = st;
             int c = 0;
-            uint8_t* outs = &sym_tab[((size_t)st * 256 + by) * 8];
-            for (int k = 7; k >= 0; k--) {
-                const int bit = (by >> k) & 1;
+            uint8_t* outs = &sym4[((size_t)st * 16 + nib) * 4];
+            for (int k = 3; k >= 0; k--) {
+                const int bit = (nib >> k) & 1;
                 const int32_t nx = child[nd * 2 + bit];
                 if (nx < 0) { nd = 0; continue; }
                 nd = nx;
@@ -171,19 +172,41 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
                     nd = 0;
                 }
             }
-            step_tab[(size_t)st * 256 + by] = (nd << 4) | c;
+            step4[(size_t)st * 16 + nib] = (nd << 4) | c;
+        }
+    }
+    std::vector<int32_t> step_tab((size_t)n_nodes * 256);
+    std::vector<uint8_t> sym_tab((size_t)n_nodes * 256 * 8);
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+    #endif
+    for (int st = 0; st < n_nodes; st++) {
+        for (int by = 0; by < 256; by++) {
+            const int32_t e1 = step4[(size_t)st * 16 + (by >> 4)];
+            const int c1 = e1 & 15;
+            const int32_t s1 = e1 >> 4;
+            const int32_t e2 = step4[(size_t)s1 * 16 + (by & 15)];
+            const int c2 = e2 & 15;
+            uint8_t* outs = &sym_tab[((size_t)st * 256 + by) * 8];
+            std::memcpy(outs, &sym4[((size_t)st * 16 + (by >> 4)) * 4], 4);
+            std::memcpy(outs + c1, &sym4[((size_t)s1 * 16 + (by & 15)) * 4],
+                        4);  // may scribble past c1+c2 within the 8B entry
+            step_tab[(size_t)st * 256 + by] = ((e2 >> 4) << 4) | (c1 + c2);
         }
     }
 
     // Two-pass parallel decode over whole bytes.  Pass 1 finds every
     // chunk's entry state and output offset — the wire format's one true
     // dependency chain.  Rather than walking it serially, each chunk runs
-    // the FSM SPECULATIVELY from the root in parallel, recording its exit
+    // the FSM SPECULATIVELY from the root in parallel, EMITTING symbols
+    // into a per-chunk scratch buffer as it goes and recording its exit
     // state/count plus the first SYNC_K (state, count) trajectory entries;
     // Huffman byte-FSMs self-synchronize within a few bytes, so the serial
     // stitch only walks each chunk's sync prefix (falling back to a full
-    // walk for the rare chunk that never syncs).  Pass 2: chunks emit
-    // symbols independently from their now-exact entry states.
+    // walk for the rare chunk that never syncs).  Pass 2 then re-walks
+    // only each chunk's pre-sync bytes and memcpys the (exact from the
+    // sync point on) speculative output into place — the payload is
+    // walked ONCE, not twice.
     const int64_t first_byte = pos >> 3;
     const int64_t n_in = nbytes - first_byte;
     int n_threads = 1;
@@ -203,6 +226,16 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
     std::vector<int32_t> spec_state(n_chunks), spec_traj((size_t)n_chunks * SYNC_K);
     std::vector<int64_t> spec_count(n_chunks);
     std::vector<int64_t> spec_pref((size_t)n_chunks * SYNC_K);
+    // Per-chunk speculative output: worst case 8 symbols/byte, plus 8
+    // bytes of per-chunk slack (the emit below blind-writes 8 bytes per
+    // step and must not touch the next chunk's region).  Uninitialized on
+    // purpose — only the emitted prefix is ever read.
+    std::unique_ptr<uint8_t[]> spec_out(
+        new uint8_t[(size_t)n_in * 8 + (size_t)n_chunks * 8]);
+    const auto spec_buf = [&](int ci) {
+        return spec_out.get() + (chunk_lo(ci) - first_byte) * 8
+               + (size_t)ci * 8;
+    };
     #ifdef _OPENMP
     #pragma omp parallel for schedule(static)
     #endif
@@ -211,9 +244,12 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
         int64_t cnt = 0;                 // others speculate from the root
         int32_t* traj = &spec_traj[(size_t)ci * SYNC_K];
         int64_t* pref = &spec_pref[(size_t)ci * SYNC_K];
+        uint8_t* op = spec_buf(ci);
         const int64_t lo = chunk_lo(ci), hi = chunk_hi(ci);
         for (int64_t i = lo; i < hi; i++) {
-            const int32_t e = step_tab[(size_t)s * 256 + data[i]];
+            const size_t idx = (size_t)s * 256 + data[i];
+            const int32_t e = step_tab[idx];
+            std::memcpy(op + cnt, &sym_tab[idx * 8], 8);  // c <= 8 live
             cnt += e & 15;
             s = e >> 4;
             if (i - lo < SYNC_K) { traj[i - lo] = s; pref[i - lo] = cnt; }
@@ -223,8 +259,12 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
     }
 
     // Serial stitch: true entry state/offset per chunk via sync prefixes.
+    // sync_at[ci] = number of leading bytes whose speculative emissions are
+    // wrong and must be re-walked (0 = the whole chunk is exact; -1 = the
+    // chunk never synced and pass 2 re-walks it entirely).
     std::vector<int32_t> entry_state(n_chunks);
     std::vector<int64_t> entry_out(n_chunks);
+    std::vector<int64_t> sync_at(n_chunks);
     int32_t st = node;
     int64_t total = n_out;
     for (int ci = 0; ci < n_chunks; ci++) {
@@ -232,6 +272,7 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
         entry_out[ci] = total;
         const int64_t lo = chunk_lo(ci), hi = chunk_hi(ci);
         if (ci == 0 || st == 0) {  // speculation ran the true entry state
+            sync_at[ci] = 0;
             total += spec_count[ci];
             st = spec_state[ci];
             continue;
@@ -245,21 +286,26 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
             total += e & 15;
             st = e >> 4;
             if (st == traj[i - lo]) {  // trajectories merged: rest is exact
+                sync_at[ci] = i - lo + 1;
                 total += spec_count[ci] - pref[i - lo];
                 st = spec_state[ci];
                 synced = true;
                 break;
             }
         }
-        if (!synced)
+        if (!synced) {
+            sync_at[ci] = -1;
             for (; i < hi; i++) {
                 const int32_t e = step_tab[(size_t)st * 256 + data[i]];
                 total += e & 15;
                 st = e >> 4;
             }
+        }
     }
     if (total > out_cap) return -1;
 
+    // Pass 2: re-walk only the pre-sync bytes, then memcpy the exact
+    // speculative tail into place.
     #ifdef _OPENMP
     #pragma omp parallel for schedule(static)
     #endif
@@ -267,13 +313,20 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
         int32_t s2 = entry_state[ci];
         uint8_t* op = out + entry_out[ci];
         const int64_t lo = chunk_lo(ci), hi = chunk_hi(ci);
-        for (int64_t i = lo; i < hi; i++) {
+        const int64_t ns = sync_at[ci];
+        const int64_t stop = ns < 0 ? hi : lo + ns;
+        for (int64_t i = lo; i < stop; i++) {
             const size_t idx = (size_t)s2 * 256 + data[i];
             const int32_t e = step_tab[idx];
             const int c = e & 15;
             const uint8_t* sy = &sym_tab[idx * 8];
             for (int k = 0; k < c; k++) *op++ = sy[k];
             s2 = e >> 4;
+        }
+        if (ns >= 0) {
+            const int64_t from = ns == 0 ? 0
+                : spec_pref[(size_t)ci * SYNC_K + ns - 1];
+            std::memcpy(op, spec_buf(ci) + from, spec_count[ci] - from);
         }
     }
     return total;
