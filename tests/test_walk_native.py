@@ -1,0 +1,84 @@
+"""Native offset walk (runtime.cpp walk_offsets) vs a reference bit walk.
+
+The round-3 walk reads each record header with one unaligned 64-bit load
+and falls back to a safe bit reader near the buffer end; these tests pin
+the fast-path/safe-path boundary and past-the-end semantics (reads past
+the end return 0 bits, reference BitStream.cpp:14-28).
+"""
+
+import numpy as np
+import pytest
+
+from imageencoder_tpu.runtime.native import walk_offsets_native
+
+
+def _ref_walk(packed: bytes, start_bit: int, n_blocks: int, use_rle: bool,
+              block_size: int):
+    bits = np.unpackbits(np.frombuffer(packed, np.uint8))
+    nbits = len(bits)
+    k = block_size * block_size
+
+    def get(pos, n):
+        v = 0
+        for i in range(n):
+            b = int(bits[pos + i]) if pos + i < nbits else 0
+            v = (v << 1) | b
+        return v
+
+    offs, dbits, counts = [], [], []
+    pos = start_bit
+    for _ in range(n_blocks):
+        b = get(pos, 4)
+        pos += 4
+        count = k
+        if use_rle:
+            count = get(pos, b)
+            pos += b
+        offs.append(pos)
+        dbits.append(b)
+        counts.append(count)
+        pos += b * count
+    return (np.array(offs, np.int64), np.array(dbits, np.int32),
+            np.array(counts, np.int32), pos)
+
+
+@pytest.mark.parametrize("use_rle", [True, False])
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_walk_matches_reference_bit_walk(use_rle, seed):
+    rng = np.random.default_rng(seed)
+    # Random bytes ARE a valid record stream under this grammar (any 4-bit
+    # width / any count parses); lengths chosen to land the last records
+    # inside the <=9-byte safe-path tail.
+    n_blocks = int(rng.integers(5, 40))
+    packed = rng.integers(0, 256, int(rng.integers(16, 160)),
+                          np.uint8).tobytes()
+    start_bit = int(rng.integers(0, 16))
+    ref = _ref_walk(packed, start_bit, n_blocks, use_rle, 4)
+    got = walk_offsets_native(None, start_bit, n_blocks, use_rle, 4,
+                              packed=packed)
+    for r, g in zip(ref[:3], got[:3]):
+        assert np.array_equal(r, g)
+    assert ref[3] == got[3]
+
+
+@pytest.mark.parametrize("use_rle", [True, False])
+def test_walk_overrun_reads_zero_bits(use_rle):
+    # A width-15 record whose payload claims far more bits than the buffer
+    # holds: the walk must advance past the end reading 0 bits, exactly
+    # like the reference's BitStreamReader.
+    packed = bytes([0xFF, 0xFF, 0xFF, 0xFF])
+    ref = _ref_walk(packed, 0, 6, use_rle, 4)
+    got = walk_offsets_native(None, 0, 6, use_rle, 4, packed=packed)
+    for r, g in zip(ref[:3], got[:3]):
+        assert np.array_equal(r, g)
+    assert ref[3] == got[3]
+
+
+def test_walk_block8():
+    rng = np.random.default_rng(9)
+    packed = rng.integers(0, 256, 400, np.uint8).tobytes()
+    ref = _ref_walk(packed, 3, 12, True, 8)
+    got = walk_offsets_native(None, 3, 12, True, 8, packed=packed)
+    for r, g in zip(ref[:3], got[:3]):
+        assert np.array_equal(r, g)
+    assert ref[3] == got[3]
