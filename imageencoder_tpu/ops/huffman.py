@@ -194,21 +194,40 @@ def huffman_encode_with_hist(inner: bytes, freqs: np.ndarray) -> bytes:
     of the reference's serial histogram loop (Huffman.cpp:236-243) — so
     the host never rescans the stream for statistics.
     """
-    data = np.frombuffer(inner, dtype=np.uint8)
     built = _dict_and_codes(freqs)
     if built is None:
         return _fallback(inner)
     w, words, lengths = built
 
-    # Payload: LUT gather + shared packer.
+    # Total size is known from the histogram alone — decide the
+    # fallback-if-bigger (Huffman.cpp:329-341) BEFORE encoding anything.
+    dict_bits = int(np.sum(np.asarray(w.nbits, dtype=np.int64)))
+    total_bits = dict_bits + int(
+        np.dot(freqs.astype(np.int64), lengths.astype(np.int64)))
+    if len(inner) < (total_bits + 7) // 8:
+        return _fallback(inner)
+
+    try:
+        from ..runtime.native import huffman_pack_bytes_native
+
+        # One native pass: per-byte LUT + chunk-parallel bit append — no
+        # int64 field tensors materialize.
+        prefix, _ = pack_fields(np.asarray(w.values, dtype=np.int64),
+                                np.asarray(w.nbits, dtype=np.int64))
+        return huffman_pack_bytes_native(inner, words, lengths, prefix,
+                                         dict_bits, total_bits)
+    except Exception as e:
+        from ..runtime.native import warn_fallback
+        warn_fallback("huffman_pack_bytes", e)
+
+    # Numpy fallback: LUT gather + shared packer.
+    data = np.frombuffer(inner, dtype=np.uint8)
     pay_vals = words[data].astype(np.int64)
     pay_bits = lengths[data].astype(np.int64)
     all_vals = np.concatenate([np.asarray(w.values, dtype=np.int64), pay_vals])
     all_bits = np.concatenate([np.asarray(w.nbits, dtype=np.int64), pay_bits])
-    out, total_bits = pack_fields(all_vals, all_bits)
-
-    if len(inner) < (total_bits + 7) // 8:
-        return _fallback(inner)
+    out, tb = pack_fields(all_vals, all_bits)
+    assert tb == total_bits
     return out
 
 

@@ -52,6 +52,12 @@ def _load():
     lib.pack_fields.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_longlong, ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong]
+    lib.huffman_pack_bytes.restype = ctypes.c_longlong
+    lib.huffman_pack_bytes.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_longlong, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_longlong]
     lib.dct_exact.restype = ctypes.c_longlong
     lib.dct_exact.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_longlong, ctypes.c_int,
@@ -150,6 +156,35 @@ def pack_fields_native(values: np.ndarray, nbits: np.ndarray,
     if rc < 0:
         raise ValueError("native pack_fields failed")
     return out.tobytes(), total_bits
+
+
+def huffman_pack_bytes_native(data: bytes, code_words: np.ndarray,
+                              code_lens: np.ndarray, prefix: bytes,
+                              prefix_bits: int, total_bits: int):
+    """One-pass chunk-parallel Huffman payload pack through a 256-entry
+    (code, len) LUT, with the serialized dict `prefix` pre-placed.
+
+    total_bits must be prefix_bits + dot(freqs, lens) (exact — the caller
+    knows it from the histogram).  Returns the complete stream bytes.
+    """
+    lib = _load()
+    if lib is None:
+        raise ImportError("native runtime not built")
+    d = np.frombuffer(data, dtype=np.uint8)
+    cw = np.ascontiguousarray(code_words, dtype=np.uint32)
+    cl = np.ascontiguousarray(code_lens, dtype=np.uint8)
+    nbytes = (total_bits + 7) // 8
+    out = np.zeros(nbytes, dtype=np.uint8)
+    out[:len(prefix)] = np.frombuffer(prefix, dtype=np.uint8)
+    rc = lib.huffman_pack_bytes(
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(d),
+        cw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        cl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(prefix_bits),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nbytes)
+    if rc != total_bits:
+        raise ValueError("native huffman_pack_bytes failed")
+    return out.tobytes()
 
 
 def extract_coeffs_native(data: bytes, offsets, dbits, counts,

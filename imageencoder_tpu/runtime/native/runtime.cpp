@@ -381,6 +381,20 @@ int64_t extract_coeffs(const uint8_t* data, int64_t nbytes,
         if (b == 0) continue;
         const uint32_t sign_bit = 1u << (b - 1);
         const uint32_t ext = ~0u << b;
+        if (((pos + (int64_t)b * cnt) >> 3) + 9 <= nbytes) {
+            // Fast path: one unaligned big-endian 64-bit load per field
+            // (b <= 15 always fits), no per-field bounds branches.
+            for (int j = 0; j < cnt; j++) {
+                uint64_t wd;
+                std::memcpy(&wd, data + (pos >> 3), 8);
+                wd = __builtin_bswap64(wd) << (pos & 7);
+                uint32_t v = (uint32_t)(wd >> (64 - b));
+                pos += b;
+                if (v & sign_bit) v |= ext;  // sign-extend
+                row[zz[j]] = (int16_t)(int32_t)v;
+            }
+            continue;
+        }
         for (int j = 0; j < cnt; j++) {
             uint32_t v = 0;
             if (pos + b <= nbits_total) {
@@ -434,9 +448,18 @@ static int64_t decode_to_image_impl(
             const uint32_t sign_bit = 1u << (b - 1);
             const uint32_t ext = ~0u << b;
             int64_t pos = offsets[n];
+            const bool fast =
+                ((pos + (int64_t)b * cnt) >> 3) + 9 <= nbytes;
             for (int j = 0; j < cnt; j++) {
                 uint32_t v = 0;
-                if (pos + b <= nbits_total) {
+                if (fast) {
+                    // One unaligned big-endian 64-bit load per field
+                    // (b <= 15 always fits), no per-field bounds checks.
+                    uint64_t wd;
+                    std::memcpy(&wd, data + (pos >> 3), 8);
+                    wd = __builtin_bswap64(wd) << (pos & 7);
+                    v = (uint32_t)(wd >> (64 - b));
+                } else if (pos + b <= nbits_total) {
                     // 3-byte window covers any field of <= 17 bits.
                     const int64_t byte0 = pos >> 3;
                     uint32_t wnd = (uint32_t)data[byte0] << 16;
@@ -533,6 +556,76 @@ int64_t predict_frame(const uint8_t* ref, int64_t h, int64_t w,
 // write their bits independently; bytes shared between neighbouring fields
 // are combined with atomic OR, bytes wholly inside one field are plain
 // stores.  Falls back to the serial accumulator for small inputs.
+// Huffman-encode payload bytes through a 256-entry (code, len <= 15) LUT
+// into `out` starting at bit `start_bit` (the serialized dict, already
+// written by the caller into the zero-initialized `out`).  Chunk-parallel:
+// per-chunk bit offsets come from a lens-LUT prefix pass; interior bytes
+// are exclusively owned, the two shared boundary bytes per chunk are
+// atomic-ORs.  Returns total bits, or -1 if out_cap would be exceeded.
+// (Serial analogue: the reference's per-byte re-encode loop,
+// Huffman.cpp:314-319.)
+int64_t huffman_pack_bytes(const uint8_t* data, int64_t n,
+                           const uint32_t* code_words,
+                           const uint8_t* code_lens, int64_t start_bit,
+                           uint8_t* out, int64_t out_cap) {
+    int n_chunks = 1;
+    #ifdef _OPENMP
+    if (n > 65536) n_chunks = omp_get_max_threads();
+    #endif
+    const int64_t per = (n + n_chunks - 1) / n_chunks;
+    std::vector<int64_t> cstart((size_t)n_chunks + 1);
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+    #endif
+    for (int ci = 0; ci < n_chunks; ci++) {
+        const int64_t lo = (int64_t)ci * per;
+        const int64_t hi = lo + per < n ? lo + per : n;
+        int64_t bits = 0;
+        for (int64_t i = lo; i < hi; i++) bits += code_lens[data[i]];
+        cstart[(size_t)ci + 1] = bits;
+    }
+    cstart[0] = start_bit;
+    for (int ci = 0; ci < n_chunks; ci++)
+        cstart[(size_t)ci + 1] += cstart[(size_t)ci];
+    const int64_t total = cstart[(size_t)n_chunks];
+    if ((total + 7) / 8 > out_cap) return -1;
+
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+    #endif
+    for (int ci = 0; ci < n_chunks; ci++) {
+        const int64_t lo = (int64_t)ci * per;
+        const int64_t hi = lo + per < n ? lo + per : n;
+        const int64_t p = cstart[(size_t)ci];
+        int64_t byte_pos = p >> 3;
+        uint64_t acc = 0;          // phase bits enter as leading zeros
+        int na = (int)(p & 7);
+        bool first = true;         // first flushed byte may be shared
+        for (int64_t i = lo; i < hi; i++) {
+            const uint8_t b = data[i];
+            const int len = code_lens[b];
+            acc = (acc << len) | code_words[b];
+            na += len;
+            while (na >= 8) {
+                const uint8_t by = (uint8_t)(acc >> (na - 8));
+                if (first) {
+                    __atomic_fetch_or(&out[byte_pos], by, __ATOMIC_RELAXED);
+                    first = false;
+                } else {
+                    out[byte_pos] = by;
+                }
+                byte_pos++;
+                na -= 8;
+            }
+        }
+        if (na > 0) {  // partial tail byte is shared with the next chunk
+            const uint8_t by = (uint8_t)((acc << (8 - na)) & 0xFF);
+            __atomic_fetch_or(&out[byte_pos], by, __ATOMIC_RELAXED);
+        }
+    }
+    return total;
+}
+
 int64_t pack_fields(const int64_t* values, const int32_t* nbits, int64_t m,
                     uint8_t* out, int64_t out_cap) {
 #ifdef _OPENMP
