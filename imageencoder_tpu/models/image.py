@@ -110,15 +110,43 @@ def encode_image(img: np.ndarray, quant: QuantMatrix, use_rle: bool = True,
             words, total = make_encode_packed(block_size, use_rle, norm)(*args)
             return words_to_bytes(words, int(total))
     else:
-        with profiling.stage("transform+stats"):
-            vals, nbits = encode_blocks(blockify(img, block_size), quant,
-                                        use_rle, norm=norm, backend=backend)
-        with profiling.stage("bitpack"):
-            inner, _ = bitpack.pack_fields(
-            np.concatenate([np.asarray(writer.values, dtype=np.int64),
-                            np.asarray(vals, dtype=np.int64).ravel()]),
-            np.concatenate([np.asarray(writer.nbits, dtype=np.int64),
-                            np.asarray(nbits, dtype=np.int64).ravel()]))
+        with profiling.stage("transform"):
+            blocks = blockify(img, block_size)
+            if backend == "fast":
+                from ..ops.dct import forward_transform_fast
+
+                coeffs = forward_transform_fast(
+                    np.asarray(blocks), quant.as_float(np.float32), norm)
+            else:
+                coeffs = forward_transform(np.asarray(blocks),
+                                           quant.as_float(), norm)
+            k = block_size * block_size
+            coeffs_zz = coeffs.reshape(coeffs.shape[0], k)[:, zigzag_order(
+                block_size)]
+        try:
+            from ..runtime.native import encode_pack_blocks_native
+
+            # One native pass: RLE stats + field emission + bit pack
+            # (no [N, K+2] int64 field tensors materialize).
+            with profiling.stage("stats+fields+bitpack"):
+                prefix, _ = bitpack.pack_fields(
+                    np.asarray(writer.values, dtype=np.int64),
+                    np.asarray(writer.nbits, dtype=np.int64))
+                inner, _ = encode_pack_blocks_native(
+                    coeffs_zz, use_rle, prefix, writer.position)
+        except Exception as e:
+            from ..runtime.native import warn_fallback
+            warn_fallback("encode_pack_blocks", e)
+            with profiling.stage("stats"):
+                stats = rle.block_stats(coeffs_zz, use_rle)
+                vals, nbits = rle.block_fields(coeffs_zz, stats, use_rle)
+            with profiling.stage("bitpack"):
+                inner, _ = bitpack.pack_fields(
+                    np.concatenate([np.asarray(writer.values, dtype=np.int64),
+                                    np.asarray(vals, dtype=np.int64).ravel()]),
+                    np.concatenate([np.asarray(writer.nbits, dtype=np.int64),
+                                    np.asarray(nbits,
+                                               dtype=np.int64).ravel()]))
 
     if use_huffman:
         from ..ops.huffman import huffman_encode

@@ -58,6 +58,11 @@ def _load():
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_longlong, ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_longlong]
+    lib.encode_pack_blocks.restype = ctypes.c_longlong
+    lib.encode_pack_blocks.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong, ctypes.c_int,
+        ctypes.c_int, ctypes.c_longlong, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_longlong]
     lib.dct_exact.restype = ctypes.c_longlong
     lib.dct_exact.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_longlong, ctypes.c_int,
@@ -185,6 +190,30 @@ def huffman_pack_bytes_native(data: bytes, code_words: np.ndarray,
     if rc != total_bits:
         raise ValueError("native huffman_pack_bytes failed")
     return out.tobytes()
+
+
+def encode_pack_blocks_native(coeffs_zz: np.ndarray, use_rle: bool,
+                              prefix: bytes, prefix_bits: int):
+    """One-pass RLE stats + field emission + bit pack over int32 [N, K]
+    zig-zag coefficients (Block.cpp:186-232 + 372-413 in one native
+    sweep).  `prefix` is the packed stream header (zero-padded tail byte).
+    Returns (stream bytes, total_bits)."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("native runtime not built")
+    c = np.ascontiguousarray(coeffs_zz, dtype=np.int32)
+    n, k = c.shape
+    cap_bits = prefix_bits + n * (4 + 17 * (k + 1)) + 64
+    nbytes = (cap_bits + 7) // 8
+    out = np.zeros(nbytes, dtype=np.uint8)
+    out[:len(prefix)] = np.frombuffer(prefix, dtype=np.uint8)
+    total = lib.encode_pack_blocks(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n, k,
+        int(bool(use_rle)), int(prefix_bits),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nbytes)
+    if total < 0:
+        raise ValueError("native encode_pack_blocks failed")
+    return out[: (int(total) + 7) // 8].tobytes(), int(total)
 
 
 def extract_coeffs_native(data: bytes, offsets, dbits, counts,

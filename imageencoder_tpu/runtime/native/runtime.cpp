@@ -556,6 +556,131 @@ int64_t predict_frame(const uint8_t* ref, int64_t h, int64_t w,
 // write their bits independently; bytes shared between neighbouring fields
 // are combined with atomic OR, bytes wholly inside one field are plain
 // stores.  Falls back to the serial accumulator for small inputs.
+// Wire-encode quantized zig-zag blocks in ONE pass: per-block RLE stats
+// (Block.cpp:186-232 incl. the trailing-strip quirk and the ffs(0)->1
+// clamp), field emission ([4-bit width][width-bit count if rle][payload])
+// and bit packing (Block.cpp:372-413).  Chunk-parallel like
+// huffman_pack_bytes: pass A computes per-block stats + chunk bit totals,
+// pass B streams fields through a 64-bit accumulator; the two shared
+// boundary bytes per chunk are atomic-ORs.  `out` must be zero-initialized
+// with the header prefix pre-placed; returns total bits or -1.
+int64_t encode_pack_blocks(const int32_t* coeffs, int64_t n_blocks, int k,
+                           int use_rle, int64_t start_bit, uint8_t* out,
+                           int64_t out_cap) {
+    if (k <= 0 || k > 32767) return -1;
+    std::vector<uint8_t> db((size_t)n_blocks);
+    std::vector<int16_t> cntv((size_t)n_blocks), npay((size_t)n_blocks);
+    int n_chunks = 1;
+    #ifdef _OPENMP
+    if (n_blocks > 4096) n_chunks = omp_get_max_threads();
+    #endif
+    const int64_t per = (n_blocks + n_chunks - 1) / n_chunks;
+    std::vector<int64_t> cstart((size_t)n_chunks + 1);
+
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+    #endif
+    for (int ci = 0; ci < n_chunks; ci++) {
+        const int64_t lo = (int64_t)ci * per;
+        const int64_t hi = lo + per < n_blocks ? lo + per : n_blocks;
+        int64_t bits = 0;
+        for (int64_t nb = lo; nb < hi; nb++) {
+            const int32_t* c = coeffs + nb * k;
+            int last = -1, maxb = 0;
+            for (int j = 0; j < k; j++) {
+                const int32_t v = c[j];
+                if (v != 0) {
+                    last = j;
+                    // minimal signed width (utils.hpp:226-243 semantics)
+                    const uint32_t m = v >= 0 ? (uint32_t)v : ~(uint32_t)v;
+                    const int w = (m ? 32 - __builtin_clz(m) : 0) + 1;
+                    if (w > maxb) maxb = w;
+                }
+            }
+            const int length_full = last + 1;
+            const int ffs_l =
+                length_full > 0 ? 32 - __builtin_clz((uint32_t)length_full)
+                                : 0;
+            int data_bits = maxb > ffs_l ? maxb : ffs_l;
+            if (data_bits < 1) data_bits = 1;
+            int count, n_payload;
+            if (use_rle) {
+                if (length_full == k) {
+                    int last_h = -1;
+                    for (int j = k - 2; j >= 0; j--)
+                        if (c[j] != 0) { last_h = j; break; }
+                    const int length_head = last_h + 1;
+                    const int gap = (k - 1) - length_head;
+                    count = gap > 0 ? length_head : k;
+                } else {
+                    count = length_full;
+                }
+                n_payload = count;
+            } else {
+                count = length_full;
+                n_payload = k;
+            }
+            db[(size_t)nb] = (uint8_t)data_bits;
+            cntv[(size_t)nb] = (int16_t)count;
+            npay[(size_t)nb] = (int16_t)n_payload;
+            bits += 4 + (use_rle ? data_bits : 0)
+                  + (int64_t)n_payload * data_bits;
+        }
+        cstart[(size_t)ci + 1] = bits;
+    }
+    cstart[0] = start_bit;
+    for (int ci = 0; ci < n_chunks; ci++)
+        cstart[(size_t)ci + 1] += cstart[(size_t)ci];
+    const int64_t total = cstart[(size_t)n_chunks];
+    if ((total + 7) / 8 > out_cap) return -1;
+
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+    #endif
+    for (int ci = 0; ci < n_chunks; ci++) {
+        const int64_t lo = (int64_t)ci * per;
+        const int64_t hi = lo + per < n_blocks ? lo + per : n_blocks;
+        const int64_t p = cstart[(size_t)ci];
+        int64_t byte_pos = p >> 3;
+        uint64_t acc = 0;
+        int na = (int)(p & 7);
+        bool first = true;
+        #define EMIT(bits_, val_)                                          \
+            do {                                                           \
+                const int b_ = (bits_);                                    \
+                acc = (acc << b_)                                          \
+                    | ((uint64_t)(val_) & ((1ull << b_) - 1));             \
+                na += b_;                                                  \
+                while (na >= 8) {                                          \
+                    const uint8_t by_ = (uint8_t)(acc >> (na - 8));        \
+                    if (first) {                                           \
+                        __atomic_fetch_or(&out[byte_pos], by_,             \
+                                          __ATOMIC_RELAXED);               \
+                        first = false;                                     \
+                    } else {                                               \
+                        out[byte_pos] = by_;                               \
+                    }                                                      \
+                    byte_pos++;                                            \
+                    na -= 8;                                               \
+                }                                                          \
+            } while (0)
+        for (int64_t nb = lo; nb < hi; nb++) {
+            const int32_t* c = coeffs + nb * k;
+            const int data_bits = db[(size_t)nb];
+            EMIT(4, data_bits);
+            if (use_rle) EMIT(data_bits, cntv[(size_t)nb]);
+            const int np_ = npay[(size_t)nb];
+            for (int j = 0; j < np_; j++) EMIT(data_bits, c[j]);
+        }
+        #undef EMIT
+        if (na > 0) {
+            const uint8_t by = (uint8_t)((acc << (8 - na)) & 0xFF);
+            __atomic_fetch_or(&out[byte_pos], by, __ATOMIC_RELAXED);
+        }
+    }
+    return total;
+}
+
 // Huffman-encode payload bytes through a 256-entry (code, len <= 15) LUT
 // into `out` starting at bit `start_bit` (the serialized dict, already
 // written by the caller into the zero-initialized `out`).  Chunk-parallel:
@@ -630,35 +755,67 @@ int64_t pack_fields(const int64_t* values, const int32_t* nbits, int64_t m,
                     uint8_t* out, int64_t out_cap) {
 #ifdef _OPENMP
     if (m > 65536) {
-        std::vector<int64_t> offs((size_t)m);
-        int64_t pos = 0;
-        for (int64_t i = 0; i < m; i++) {
-            offs[(size_t)i] = pos;
-            pos += nbits[i];
+        // Chunk-parallel accumulator pack: per-chunk bit totals (parallel
+        // reduce) -> chunk start bits -> each chunk streams its fields
+        // through a 64-bit accumulator.  Interior bytes are exclusively
+        // owned; only a chunk's first and last (partial) bytes are shared
+        // with its neighbors and merged with atomic ORs.  Replaces the
+        // round-2 design (a full per-field offset array + per-field
+        // byte-granular atomic loop).
+        const int n_chunks = omp_get_max_threads();
+        const int64_t per = (m + n_chunks - 1) / n_chunks;
+        std::vector<int64_t> cstart((size_t)n_chunks + 1);
+        #pragma omp parallel for schedule(static)
+        for (int ci = 0; ci < n_chunks; ci++) {
+            const int64_t lo = (int64_t)ci * per;
+            const int64_t hi = lo + per < m ? lo + per : m;
+            int64_t bits = 0;
+            for (int64_t i = lo; i < hi; i++) bits += nbits[i];
+            cstart[(size_t)ci + 1] = bits;
         }
-        if ((pos + 7) / 8 > out_cap) return -1;
+        cstart[0] = 0;
+        for (int ci = 0; ci < n_chunks; ci++)
+            cstart[(size_t)ci + 1] += cstart[(size_t)ci];
+        if ((cstart[(size_t)n_chunks] + 7) / 8 > out_cap) return -1;
 
         #pragma omp parallel for schedule(static)
-        for (int64_t i = 0; i < m; i++) {
-            int b = nbits[i];
-            if (b == 0) continue;
-            const uint64_t v = (uint64_t)values[i]
-                & ((b >= 64) ? ~0ull : ((1ull << b) - 1));
-            int64_t p = offs[(size_t)i];
-            while (b > 0) {
-                const int64_t byte = p >> 3;
-                const int bo = (int)(p & 7);
-                const int take = (8 - bo) < b ? (8 - bo) : b;
-                const uint8_t bitsv =
-                    (uint8_t)((v >> (b - take)) & ((1u << take) - 1u));
-                const uint8_t byte_val = (uint8_t)(bitsv << (8 - bo - take));
-                if (take == 8) {
-                    out[byte] = byte_val;  // byte exclusively owned
-                } else {
-                    __atomic_fetch_or(&out[byte], byte_val, __ATOMIC_RELAXED);
+        for (int ci = 0; ci < n_chunks; ci++) {
+            const int64_t lo = (int64_t)ci * per;
+            const int64_t hi = lo + per < m ? lo + per : m;
+            const int64_t p = cstart[(size_t)ci];
+            int64_t byte_pos = p >> 3;
+            uint64_t acc = 0;      // phase bits enter as leading zeros
+            int na = (int)(p & 7);
+            bool first = true;     // first flushed byte may be shared
+            for (int64_t i = lo; i < hi; i++) {
+                int b = nbits[i];
+                if (b == 0) continue;
+                const uint64_t v = (uint64_t)values[i]
+                    & ((b >= 64) ? ~0ull : ((1ull << b) - 1));
+                while (b > 0) {
+                    const int take = b > 32 ? 32 : b;
+                    acc = (acc << take)
+                        | ((v >> (b - take))
+                           & ((take >= 64) ? ~0ull : ((1ull << take) - 1)));
+                    na += take;
+                    b -= take;
+                    while (na >= 8) {
+                        const uint8_t by = (uint8_t)(acc >> (na - 8));
+                        if (first) {
+                            __atomic_fetch_or(&out[byte_pos], by,
+                                              __ATOMIC_RELAXED);
+                            first = false;
+                        } else {
+                            out[byte_pos] = by;
+                        }
+                        byte_pos++;
+                        na -= 8;
+                    }
                 }
-                p += take;
-                b -= take;
+            }
+            if (na > 0) {  // partial tail byte shared with the next chunk
+                const uint8_t by = (uint8_t)((acc << (8 - na)) & 0xFF);
+                __atomic_fetch_or(&out[byte_pos], by, __ATOMIC_RELAXED);
             }
         }
         return 0;
