@@ -161,6 +161,27 @@ def main() -> int:
     except Exception as e:
         note(f"decode bench failed: {e}")
 
+    # Host (CPU-only) encode — bit-parity wire output, fully native back
+    # end since round 3.  On this tunnel-limited box it outruns the
+    # device e2e (the chip itself is ~30x faster but sits behind a
+    # ~10-40 MB/s link); reference baseline is the same 461.9 ms OpenMP.
+    try:
+        times = []
+        encode_image(img, quant, use_rle=True, use_huffman=True,
+                     backend="numpy")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            encode_image(img, quant, use_rle=True, use_huffman=True,
+                         backend="numpy")
+            times.append(time.perf_counter() - t0)
+        extra["host_encode_ms"] = round(min(times) * 1e3, 1)
+        extra["host_encode_mpix_s"] = round(
+            img.size / min(times) / 1e6, 1)
+        note(f"host encode {extra['host_encode_ms']} ms "
+             f"({extra['host_encode_mpix_s']} Mpix/s, bit-parity)")
+    except Exception as e:
+        note(f"host encode bench failed: {e}")
+
     # Video encode (reference: ~0.38 Mpix/s on 720p25).
     try:
         from imageencoder_tpu.models.video import encode_video

@@ -111,18 +111,16 @@ def encode_image(img: np.ndarray, quant: QuantMatrix, use_rle: bool = True,
             return words_to_bytes(words, int(total))
     else:
         with profiling.stage("transform"):
-            blocks = blockify(img, block_size)
-            if backend == "fast":
-                from ..ops.dct import forward_transform_fast
+            # Both host backends use the fused native exact-order
+            # transform since round 3: it is FASTER than the f32 BLAS
+            # chain it replaced (no f64 block expansion or numpy rounding
+            # passes) and bit-parity with the reference — "fast" keeps its
+            # f32 meaning on the decode side only.
+            from ..ops.dct import forward_transform_quantize_zz
 
-                coeffs = forward_transform_fast(
-                    np.asarray(blocks), quant.as_float(np.float32), norm)
-            else:
-                coeffs = forward_transform(np.asarray(blocks),
-                                           quant.as_float(), norm)
-            k = block_size * block_size
-            coeffs_zz = coeffs.reshape(coeffs.shape[0], k)[:, zigzag_order(
-                block_size)]
+            blocks = blockify(img, block_size)
+            coeffs_zz = forward_transform_quantize_zz(
+                blocks, quant.as_float(), norm, zigzag_order(block_size))
         try:
             from ..runtime.native import encode_pack_blocks_native
 

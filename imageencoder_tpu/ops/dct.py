@@ -215,6 +215,26 @@ def inverse_transform(coeffs, quant, norm: str = "reference", dtype=np.float64):
     return x + dtype(128.0)
 
 
+def forward_transform_quantize_zz(blocks_u8, quant, norm: str, zz):
+    """u8 [N, B, B] -> int32 [N, K] quantized coefficients in ZIG-ZAG
+    order, bit-identical to forward_transform + the zig-zag gather but in
+    one native pass (no f64 block expansion or numpy rounding passes)."""
+    n = blocks_u8.shape[-1]
+    k = n * n
+    w, scale = _fwd_weights(n, norm)
+    try:
+        from ..runtime.native import dct_quantize_exact_native
+
+        return dct_quantize_exact_native(
+            np.ascontiguousarray(blocks_u8, dtype=np.uint8).reshape(-1, k),
+            w, scale, np.asarray(quant, np.float64), np.asarray(zz))
+    except Exception as e:
+        from ..runtime.native import warn_fallback
+        warn_fallback("dct_quantize_exact", e)
+    q = forward_transform(np.asarray(blocks_u8), quant, norm)
+    return q.reshape(-1, k)[:, np.asarray(zz)]
+
+
 def forward_transform_fast(blocks_u8, quant, norm: str = "reference"):
     """Host fast path: one [N, k] @ [k, k] float32 BLAS matmul per image.
 

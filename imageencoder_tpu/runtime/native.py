@@ -63,6 +63,12 @@ def _load():
         ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong, ctypes.c_int,
         ctypes.c_int, ctypes.c_longlong, ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_longlong]
+    lib.dct_quantize_exact.restype = ctypes.c_longlong
+    lib.dct_quantize_exact.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32)]
     lib.dct_exact.restype = ctypes.c_longlong
     lib.dct_exact.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_longlong, ctypes.c_int,
@@ -190,6 +196,35 @@ def huffman_pack_bytes_native(data: bytes, code_words: np.ndarray,
     if rc != total_bits:
         raise ValueError("native huffman_pack_bytes failed")
     return out.tobytes()
+
+
+def dct_quantize_exact_native(blocks_u8: np.ndarray, w: np.ndarray,
+                              scale: np.ndarray, quant: np.ndarray,
+                              zz: np.ndarray) -> np.ndarray:
+    """Fused bit-parity forward transform + quantize: u8 [N, K] blocks ->
+    int32 [N, K] coefficients in zig-zag order (exact accumulation order +
+    separate *scale / quant f64 ops + trunc-based round-half-away, bit
+    identical to the numpy chain)."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("native runtime not built")
+    b = np.ascontiguousarray(blocks_u8, dtype=np.uint8)
+    n, k = b.shape
+    wc = np.ascontiguousarray(w, dtype=np.float64)
+    sc = np.ascontiguousarray(scale, dtype=np.float64)
+    qc = np.ascontiguousarray(quant, dtype=np.float64).reshape(k)
+    zc = np.ascontiguousarray(zz, dtype=np.int32)
+    out = np.empty((n, k), dtype=np.int32)
+    rc = lib.dct_quantize_exact(
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, k,
+        wc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        sc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        qc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        zc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc < 0:
+        raise ValueError("native dct_quantize_exact failed")
+    return out
 
 
 def encode_pack_blocks_native(coeffs_zz: np.ndarray, use_rle: bool,

@@ -556,6 +556,46 @@ int64_t predict_frame(const uint8_t* ref, int64_t h, int64_t w,
 // write their bits independently; bytes shared between neighbouring fields
 // are combined with atomic OR, bytes wholly inside one field are plain
 // stores.  Falls back to the serial accumulator for small inputs.
+// Fused bit-parity forward transform: u8 blocks -> quantized int32
+// coefficients in ZIG-ZAG order.  Replicates the reference accumulation
+// order exactly (algo.cpp:309-331; compiled with -ffp-contract=off so no
+// FMA skips the intermediate rounding), then the separate f64
+// *scale / quant ops and the trunc-based round-half-away
+// (Block.cpp:148-153) — bit-identical to the numpy chain it replaces
+// (astype(f64)-128 -> dct2_exact -> /quant -> round -> int32).
+int64_t dct_quantize_exact(const uint8_t* blocks, int64_t n_blocks, int k,
+                           const double* w, const double* scale,
+                           const double* quant, const int32_t* zz,
+                           int32_t* out) {
+    if (k > 256) return -1;
+    #pragma omp parallel for schedule(static) if (n_blocks > 1024)
+    for (int64_t n = 0; n < n_blocks; n++) {
+        const uint8_t* x = blocks + n * k;
+        int32_t* row = out + n * k;
+        double acc[256];
+        for (int uv = 0; uv < k; uv++) acc[uv] = 0.0;
+        for (int c = 0; c < k; c++) {
+            const double xv = (double)x[c] - 128.0;
+            const double* wr = w + c * k;
+            for (int uv = 0; uv < k; uv++) {
+                const double t = xv * wr[uv];
+                acc[uv] += t;
+            }
+        }
+        for (int j = 0; j < k; j++) {
+            const int uv = zz ? zz[j] : j;
+            const double y = acc[uv] * scale[uv];
+            const double z = y / quant[uv];
+            const double t = __builtin_trunc(z);
+            const double d = z - t;
+            const double r = (d >= 0.5 || d <= -0.5)
+                ? (z >= 0.0 ? t + 1.0 : t - 1.0) : t;
+            row[j] = (int32_t)r;
+        }
+    }
+    return 0;
+}
+
 // Wire-encode quantized zig-zag blocks in ONE pass: per-block RLE stats
 // (Block.cpp:186-232 incl. the trailing-strip quirk and the ffs(0)->1
 // clamp), field emission ([4-bit width][width-bit count if rle][payload])
