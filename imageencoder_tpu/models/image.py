@@ -316,9 +316,10 @@ def decode_image(data: bytes, norm: str = "reference", backend: str = "numpy",
     quant, use_rle, w, h = read_image_header(reader, block_size)
     n_blocks = (w // block_size) * (h // block_size)
 
-    if backend == "fast":
+    if backend in ("fast", "numpy"):
         img = _decode_to_image_fused(payload, reader.position, n_blocks,
-                                     quant, use_rle, norm, block_size, h, w)
+                                     quant, use_rle, norm, block_size, h, w,
+                                     exact=(backend == "numpy"))
         if img is not None:
             return img
 
@@ -330,12 +331,15 @@ def decode_image(data: bytes, norm: str = "reference", backend: str = "numpy",
 
 def _decode_to_image_fused(payload: bytes, start_bit: int, n_blocks: int,
                            quant: QuantMatrix, use_rle: bool, norm: str,
-                           block_size: int, h: int, w: int):
-    """Native fused fast decode: offset walk + one-pass extract + dequant +
-    IDCT + clamp + deblockify (runtime.cpp::decode_to_image).  Returns the
+                           block_size: int, h: int, w: int,
+                           exact: bool = False):
+    """Native fused decode: offset walk + one-pass extract + dequant +
+    IDCT + clamp + deblockify (runtime.cpp::decode_to_image, or its f64
+    bit-parity twin decode_to_image_exact when ``exact``).  Returns the
     [h, w] image, or None if the native runtime is unavailable (callers
     fall through to the composable decode_blocks path)."""
-    from ..runtime.native import available, decode_to_image_native
+    from ..runtime.native import (available, decode_to_image_exact_native,
+                                  decode_to_image_native)
 
     if not available():
         return None
@@ -347,6 +351,11 @@ def _decode_to_image_fused(payload: bytes, start_bit: int, n_blocks: int,
         from ..ops.dct import _inv_weights
 
         with profiling.stage("extract+idct fused"):
+            if exact:
+                return decode_to_image_exact_native(
+                    payload, offs, dbits, counts, zigzag_order(block_size),
+                    block_size, quant.as_float(np.float64),
+                    _inv_weights(block_size, norm), h, w)
             return decode_to_image_native(
                 payload, offs, dbits, counts, zigzag_order(block_size),
                 block_size, quant.as_float(np.float32),

@@ -83,6 +83,15 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.c_longlong, ctypes.c_longlong,
         ctypes.POINTER(ctypes.c_uint8)]
+    lib.decode_to_image_exact.restype = ctypes.c_longlong
+    lib.decode_to_image_exact.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_uint8)]
     lib.decode_residual_to_image.restype = ctypes.c_longlong
     lib.decode_residual_to_image.argtypes = (
         lib.decode_to_image.argtypes[:-1]
@@ -278,6 +287,39 @@ def extract_coeffs_native(data: bytes, offsets, dbits, counts,
     if rc < 0:
         raise ValueError("native extract_coeffs failed")
     return out.reshape(n, k)
+
+
+def decode_to_image_exact_native(data: bytes, offsets, dbits, counts, zz,
+                                 block_size: int, quant: np.ndarray,
+                                 wi: np.ndarray, h: int,
+                                 w: int) -> np.ndarray:
+    """f64 BIT-PARITY twin of decode_to_image_native: reference-order f64
+    inverse DCT (dct_exact accumulation order), dequant, clamp and
+    deblockify fused — output bit-identical to the numpy chain
+    (extract -> inverse_transform -> clamp_to_u8 -> deblockify)."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("native runtime not built")
+    buf = np.frombuffer(data, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    dbits = np.ascontiguousarray(dbits, dtype=np.int32)
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    zz32 = np.ascontiguousarray(zz, dtype=np.int32)
+    quant = np.ascontiguousarray(np.asarray(quant).ravel(), dtype=np.float64)
+    wi = np.ascontiguousarray(wi, dtype=np.float64)
+    out = np.empty(h * w, dtype=np.uint8)
+    rc = lib.decode_to_image_exact(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dbits.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(offsets),
+        zz32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), block_size,
+        quant.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        wi.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        h, w, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc < 0:
+        raise ValueError("native decode_to_image_exact failed")
+    return out.reshape(h, w)
 
 
 def decode_to_image_native(data: bytes, offsets, dbits, counts, zz,

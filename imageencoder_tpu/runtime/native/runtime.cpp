@@ -502,6 +502,88 @@ static int64_t decode_to_image_impl(
     return 0;
 }
 
+// f64 BIT-PARITY twin of decode_to_image: extraction + dequant + the
+// reference-order f64 inverse DCT (algo.cpp:343-363 via the same
+// accumulate-over-coefficients order as dct_exact; zero coefficients are
+// skipped — their ±0.0 contributions cannot change any nonzero partial
+// sum, and the +128 bias erases zero signs) + clamp + deblockify.
+// Replicates the numpy chain exactly: y = c*quant, acc += y*wi[c][pix]
+// in row-major c order, x+128, floor(clip(x,0,255)).
+int64_t decode_to_image_exact(const uint8_t* data, int64_t nbytes,
+                              const int64_t* offsets, const int32_t* bits,
+                              const int32_t* counts, int64_t n_blocks,
+                              const int32_t* zz, int block_size,
+                              const double* quant, const double* wi,
+                              int64_t h, int64_t w, uint8_t* out) {
+    const int k = block_size * block_size;
+    if (k > 256) return -1;
+    const int64_t wb = w / block_size;
+    if (wb <= 0 || n_blocks != wb * (h / block_size)) return -1;
+    const int64_t nbits_total = nbytes * 8;
+    #pragma omp parallel for schedule(static) if (n_blocks > 1024)
+    for (int64_t n = 0; n < n_blocks; n++) {
+        int32_t cf[256];
+        for (int t = 0; t < k; t++) cf[t] = 0;
+        const int b = bits[n];
+        const int cnt = counts[n] < k ? counts[n] : k;
+        if (b > 0) {
+            const uint32_t sign_bit = 1u << (b - 1);
+            const uint32_t ext = ~0u << b;
+            int64_t pos = offsets[n];
+            const bool fast =
+                ((pos + (int64_t)b * cnt) >> 3) + 9 <= nbytes;
+            for (int j = 0; j < cnt; j++) {
+                uint32_t v = 0;
+                if (fast) {
+                    uint64_t wd;
+                    std::memcpy(&wd, data + (pos >> 3), 8);
+                    wd = __builtin_bswap64(wd) << (pos & 7);
+                    v = (uint32_t)(wd >> (64 - b));
+                } else if (pos + b <= nbits_total) {
+                    const int64_t byte0 = pos >> 3;
+                    uint32_t wnd = (uint32_t)data[byte0] << 16;
+                    if (byte0 + 1 < nbytes)
+                        wnd |= (uint32_t)data[byte0 + 1] << 8;
+                    if (byte0 + 2 < nbytes)
+                        wnd |= (uint32_t)data[byte0 + 2];
+                    v = (wnd >> (24 - (int)(pos & 7) - b))
+                        & ((1u << b) - 1u);
+                } else {
+                    BitReader r{data, nbits_total, pos};
+                    v = r.get(b);
+                }
+                pos += b;
+                if (v & sign_bit) v |= ext;
+                cf[zz[j]] = (int32_t)v;
+            }
+        }
+        double acc[256];
+        for (int t = 0; t < k; t++) acc[t] = 0.0;
+        for (int c = 0; c < k; c++) {
+            if (cf[c] == 0) continue;
+            const double y = (double)cf[c] * quant[c];
+            const double* wr = wi + (size_t)c * k;
+            for (int t = 0; t < k; t++) {
+                const double p = y * wr[t];
+                acc[t] += p;
+            }
+        }
+        const int64_t px0 = (n / wb) * (int64_t)block_size * w
+                            + (n % wb) * block_size;
+        uint8_t* base = out + px0;
+        for (int r = 0; r < block_size; r++) {
+            uint8_t* orow = base + (int64_t)r * w;
+            const double* yr = acc + r * block_size;
+            for (int c2 = 0; c2 < block_size; c2++) {
+                double pv = yr[c2] + 128.0;
+                pv = pv < 0.0 ? 0.0 : (pv > 255.0 ? 255.0 : pv);
+                orow[c2] = (uint8_t)pv;  // trunc == floor for pv >= 0
+            }
+        }
+    }
+    return 0;
+}
+
 int64_t decode_to_image(const uint8_t* data, int64_t nbytes,
                         const int64_t* offsets, const int32_t* bits,
                         const int32_t* counts, int64_t n_blocks,
