@@ -69,6 +69,18 @@ def find_motion(cur: np.ndarray, ref: np.ndarray, merange: int):
     bx, by = macro_grid(h, w)
     n = bx.shape[0]
     r = np.arange(MACRO)
+
+    try:
+        from ..runtime.native import find_motion_native
+
+        off = find_motion_native(cur, ref, search_steps(merange))
+        px = np.clip(bx + off[:, 0], 0, w - MACRO)
+        py = np.clip(by + off[:, 1], 0, h - MACRO)
+        return off, _windows_np(ref, py, px)
+    except Exception as e:
+        from ..runtime.native import warn_fallback
+        warn_fallback("find_motion", e)
+
     cur_blocks = cur[by[:, None, None] + r[None, :, None],
                      bx[:, None, None] + r[None, None, :]].astype(np.int32)
 

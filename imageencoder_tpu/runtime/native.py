@@ -63,6 +63,12 @@ def _load():
         ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong, ctypes.c_int,
         ctypes.c_int, ctypes.c_longlong, ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_longlong]
+    lib.find_motion.restype = ctypes.c_longlong
+    lib.find_motion.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32)]
     lib.dct_quantize_exact.restype = ctypes.c_longlong
     lib.dct_quantize_exact.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong, ctypes.c_int,
@@ -205,6 +211,28 @@ def huffman_pack_bytes_native(data: bytes, code_words: np.ndarray,
     if rc != total_bits:
         raise ValueError("native huffman_pack_bytes failed")
     return out.tobytes()
+
+
+def find_motion_native(cur: np.ndarray, ref: np.ndarray,
+                       steps) -> np.ndarray:
+    """2D-log motion search (Block.cpp:268-339 semantics, see
+    ops/motion.py) over all MacroBlocks; returns int32 [N, 2] (x, y)."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("native runtime not built")
+    c = np.ascontiguousarray(cur, dtype=np.uint8)
+    r = np.ascontiguousarray(ref, dtype=np.uint8)
+    h, w = c.shape
+    st = np.ascontiguousarray(steps, dtype=np.int32)
+    out = np.empty(((h // 16) * (w // 16), 2), dtype=np.int32)
+    rc = lib.find_motion(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        st.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(st),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc < 0:
+        raise ValueError("native find_motion failed")
+    return out
 
 
 def dct_quantize_exact_native(blocks_u8: np.ndarray, w: np.ndarray,

@@ -638,6 +638,66 @@ int64_t predict_frame(const uint8_t* ref, int64_t h, int64_t w,
 // write their bits independently; bytes shared between neighbouring fields
 // are combined with atomic OR, bytes wholly inside one field are plain
 // stores.  Falls back to the serial accumulator for small inputs.
+// 2D-log motion search for every 16x16 MacroBlock of `cur` against `ref`
+// (Block.cpp:268-339 semantics as replicated by ops/motion.py: MER_SIGNS
+// probe order, <= tie-break updating within a level, clamped-to-self skip
+// for p > 0, window clamping at the frame edge).  steps = the per-level
+// step sizes (merange//2, //4, ..., 1).  out_mvec int32 [N, 2] as (x, y)
+// relative offsets, MacroBlocks in row-major order.
+int64_t find_motion(const uint8_t* cur, const uint8_t* ref, int64_t h,
+                    int64_t w, const int32_t* steps, int n_steps,
+                    int32_t* out_mvec) {
+    static const int SX[9] = {0, 1, 1, 0, -1, -1, -1, 0, 1};
+    static const int SY[9] = {0, 0, 1, 1, 1, 0, -1, -1, -1};
+    const int64_t nby = h / 16, nbx = w / 16;
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+    #endif
+    for (int64_t mb = 0; mb < nby * nbx; mb++) {
+        const int64_t by = (mb / nbx) * 16, bx = (mb % nbx) * 16;
+        const uint8_t* cb = cur + by * w + bx;
+        int offx = 0, offy = 0;
+        int64_t best = INT64_MAX;
+        for (int si = 0; si < n_steps; si++) {
+            const int s = steps[si];
+            int64_t running = best;
+            int selx = offx, sely = offy;
+            for (int p = 0; p < 9; p++) {
+                const int cx = offx + SX[p] * s, cy = offy + SY[p] * s;
+                int64_t px = bx + cx, py = by + cy;
+                if (px < 0) px = 0;
+                if (px > w - 16) px = w - 16;
+                if (py < 0) py = 0;
+                if (py > h - 16) py = h - 16;
+                if (p > 0 && px == bx && py == by) continue;  // skip rule
+                const uint8_t* rb = ref + py * w + px;
+                int64_t diff = 0;
+                for (int r = 0; r < 16; r++) {
+                    const uint8_t* c_ = cb + (int64_t)r * w;
+                    const uint8_t* r_ = rb + (int64_t)r * w;
+                    int d = 0;
+                    for (int c2 = 0; c2 < 16; c2++) {
+                        const int t = (int)c_[c2] - (int)r_[c2];
+                        d += t < 0 ? -t : t;
+                    }
+                    diff += d;
+                }
+                if (diff <= running) {
+                    running = diff;
+                    selx = cx;
+                    sely = cy;
+                }
+            }
+            offx = selx;
+            offy = sely;
+            best = running;
+        }
+        out_mvec[mb * 2] = offx;
+        out_mvec[mb * 2 + 1] = offy;
+    }
+    return 0;
+}
+
 // Fused bit-parity forward transform: u8 blocks -> quantized int32
 // coefficients in ZIG-ZAG order.  Replicates the reference accumulation
 // order exactly (algo.cpp:309-331; compiled with -ffp-contract=off so no
