@@ -209,6 +209,18 @@ def main() -> int:
         extra["video_encode_fps"] = round(nf / v_s, 1)
         extra["video_vs_baseline"] = round(vmpix / BASELINE_VIDEO_MPIX_S, 1)
         note(f"video encode {v_s:.2f} s = {vmpix:.1f} Mpix/s")
+
+        # Host (CPU-only) video encode — native motion search + encode
+        # back end; no tunnel in the path. Reference: 0.38 Mpix/s.
+        t0 = time.perf_counter()
+        venc_host = encode_video(vdata, vw, vh, quant, True, 4, 16,
+                                 use_huffman=True, backend="numpy")
+        vh_s = time.perf_counter() - t0
+        assert len(venc_host) > 0  # f32 device ties may differ by bytes
+        extra["host_video_encode_mpix_s"] = round(
+            vw * vh * nf / vh_s / 1e6, 2)
+        note(f"host video encode {vh_s:.2f} s = "
+             f"{extra['host_video_encode_mpix_s']} Mpix/s")
     except Exception as e:
         note(f"video bench failed: {e}")
 
