@@ -60,10 +60,12 @@ def encode_blocks(blocks_u8, quant: QuantMatrix, use_rle: bool,
 
         coeffs = forward_transform_fast(np.asarray(blocks_u8),
                                         quant.as_float(np.float32), norm)
+        coeffs_zz = coeffs.reshape(coeffs.shape[0], b * b)[:, zz]
     else:
-        coeffs = forward_transform(np.asarray(blocks_u8), quant.as_float(),
-                                   norm)
-    coeffs_zz = coeffs.reshape(coeffs.shape[0], b * b)[:, zz]
+        from ..ops.dct import forward_transform_quantize_zz
+
+        coeffs_zz = forward_transform_quantize_zz(
+            np.asarray(blocks_u8), quant.as_float(), norm, zz)
     stats = rle.block_stats(coeffs_zz, use_rle)
     return rle.block_fields(coeffs_zz, stats, use_rle)
 

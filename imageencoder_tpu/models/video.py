@@ -116,8 +116,30 @@ def _residual_fields_and_recon(residual, pred, quant, use_rle, norm, backend,
             jnp.asarray(coeffs), quant.as_float(np.float32), norm,
             dtype=jnp.float32))
     else:
-        coeffs = forward_transform(blocks, quant.as_float(), norm)
         zz = zigzag_order(block_size)
+        try:
+            # Fused native bit-parity path: exact-order f64 transform +
+            # quantize + zig-zag, then dequant + exact IDCT + prediction
+            # add + clamp + deblockify, no numpy f64 tensor chains.
+            from ..runtime.native import (dct_quantize_exact_f64_native,
+                                          idct_recon_exact_native)
+            from ..ops.dct import _fwd_weights, _inv_weights
+
+            h, w = residual.shape
+            k = block_size * block_size
+            wf, scale = _fwd_weights(block_size, norm)
+            czz = dct_quantize_exact_f64_native(
+                blocks.reshape(-1, k), wf, scale, quant.as_float(), zz)
+            stats = rle.block_stats(czz, use_rle)
+            vals, nbits = rle.block_fields(czz, stats, use_rle)
+            recon = idct_recon_exact_native(
+                czz, block_size, zz, _inv_weights(block_size, norm),
+                quant.as_float(), pred, h, w)
+            return vals, nbits, recon
+        except Exception as e:
+            from ..runtime.native import warn_fallback
+            warn_fallback("residual_recon", e)
+        coeffs = forward_transform(blocks, quant.as_float(), norm)
         czz = coeffs.reshape(coeffs.shape[0], -1)[:, zz]
         stats = rle.block_stats(czz, use_rle)
         vals, nbits = rle.block_fields(czz, stats, use_rle)

@@ -36,6 +36,11 @@ def _load():
     if not so.exists():
         return None
     lib = ctypes.CDLL(str(so))
+    # Process-wide allocator tuning: keep numpy's large per-frame
+    # temporaries on the heap instead of per-allocation mmap/munmap
+    # (~3x on the host video path; see runtime.cpp tune_host_allocator).
+    lib.tune_host_allocator.restype = ctypes.c_longlong
+    lib.tune_host_allocator()
     lib.walk_offsets.restype = ctypes.c_longlong
     lib.walk_offsets.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong, ctypes.c_longlong,
@@ -75,6 +80,19 @@ def _load():
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32)]
+    lib.dct_quantize_exact_f64.restype = ctypes.c_longlong
+    lib.dct_quantize_exact_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_longlong, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.idct_recon_exact.restype = ctypes.c_longlong
+    lib.idct_recon_exact.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_uint8)]
     lib.dct_exact.restype = ctypes.c_longlong
     lib.dct_exact.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_longlong, ctypes.c_int,
@@ -262,6 +280,61 @@ def dct_quantize_exact_native(blocks_u8: np.ndarray, w: np.ndarray,
     if rc < 0:
         raise ValueError("native dct_quantize_exact failed")
     return out
+
+
+def dct_quantize_exact_f64_native(blocks: np.ndarray, w: np.ndarray,
+                                  scale: np.ndarray, quant: np.ndarray,
+                                  zz: np.ndarray) -> np.ndarray:
+    """f64-input twin of dct_quantize_exact_native (video residuals)."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("native runtime not built")
+    b = np.ascontiguousarray(blocks, dtype=np.float64)
+    n, k = b.shape
+    wc = np.ascontiguousarray(w, dtype=np.float64)
+    sc = np.ascontiguousarray(scale, dtype=np.float64)
+    qc = np.ascontiguousarray(quant, dtype=np.float64).reshape(k)
+    zc = np.ascontiguousarray(zz, dtype=np.int32)
+    out = np.empty((n, k), dtype=np.int32)
+    rc = lib.dct_quantize_exact_f64(
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n, k,
+        wc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        sc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        qc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        zc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc < 0:
+        raise ValueError("native dct_quantize_exact_f64 failed")
+    return out
+
+
+def idct_recon_exact_native(czz: np.ndarray, block_size: int,
+                            zz: np.ndarray, wi: np.ndarray,
+                            quant: np.ndarray, pred: np.ndarray,
+                            h: int, w: int) -> np.ndarray:
+    """Exact f64 residual reconstruction: zig-zag int32 coefficients ->
+    dequant -> reference-order IDCT -> +128 -> +pred -> clamp, deblockified
+    (bit-identical to the numpy chain in _residual_fields_and_recon)."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("native runtime not built")
+    c = np.ascontiguousarray(czz, dtype=np.int32)
+    n, k = c.shape
+    zc = np.ascontiguousarray(zz, dtype=np.int32)
+    wic = np.ascontiguousarray(wi, dtype=np.float64)
+    qc = np.ascontiguousarray(quant, dtype=np.float64).reshape(k)
+    p = np.ascontiguousarray(pred, dtype=np.uint8)
+    out = np.empty(h * w, dtype=np.uint8)
+    rc = lib.idct_recon_exact(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n, block_size,
+        zc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        wic.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        qc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc < 0:
+        raise ValueError("native idct_recon_exact failed")
+    return out.reshape(h, w)
 
 
 def encode_pack_blocks_native(coeffs_zz: np.ndarray, use_rle: bool,

@@ -20,6 +20,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <malloc.h>
 #include <memory>
 #include <vector>
 
@@ -53,6 +54,18 @@ struct BitReader {
 }  // namespace
 
 extern "C" {
+
+// Keep large allocations on the heap for reuse.  glibc's default
+// M_MMAP_THRESHOLD sends numpy's tens-of-MB per-frame temporaries through
+// mmap/munmap on every allocation; the resulting page-fault churn measured
+// ~3x on the host video encode (3.9 s -> 1.1 s for 12 frames of 720p).
+// Raising the trim threshold too keeps freed heap blocks available.
+// Trade-off: process RSS holds the high-water mark of temporaries.
+int64_t tune_host_allocator() {
+    mallopt(M_MMAP_THRESHOLD, 256 << 20);
+    mallopt(M_TRIM_THRESHOLD, 256 << 20);
+    return 0;
+}
 
 // Returns the bit position after the last block, or -1 on error.
 int64_t walk_offsets(const uint8_t* data, int64_t nbytes, int64_t start_bit,
@@ -733,6 +746,91 @@ int64_t dct_quantize_exact(const uint8_t* blocks, int64_t n_blocks, int k,
             const double r = (d >= 0.5 || d <= -0.5)
                 ? (z >= 0.0 ? t + 1.0 : t - 1.0) : t;
             row[j] = (int32_t)r;
+        }
+    }
+    return 0;
+}
+
+// f64-input twin of dct_quantize_exact for video residual blocks (the
+// -128 bias applies to residuals too, Block.cpp:139-153 / SUBTRACT_128).
+int64_t dct_quantize_exact_f64(const double* blocks, int64_t n_blocks,
+                               int k, const double* w, const double* scale,
+                               const double* quant, const int32_t* zz,
+                               int32_t* out) {
+    if (k > 256) return -1;
+    #pragma omp parallel for schedule(static) if (n_blocks > 1024)
+    for (int64_t n = 0; n < n_blocks; n++) {
+        const double* x = blocks + n * k;
+        int32_t* row = out + n * k;
+        double acc[256];
+        for (int uv = 0; uv < k; uv++) acc[uv] = 0.0;
+        for (int c = 0; c < k; c++) {
+            const double xv = x[c] - 128.0;
+            const double* wr = w + c * k;
+            for (int uv = 0; uv < k; uv++) {
+                const double t = xv * wr[uv];
+                acc[uv] += t;
+            }
+        }
+        for (int j = 0; j < k; j++) {
+            const int uv = zz ? zz[j] : j;
+            const double y = acc[uv] * scale[uv];
+            const double z = y / quant[uv];
+            const double t = __builtin_trunc(z);
+            const double d = z - t;
+            const double r = (d >= 0.5 || d <= -0.5)
+                ? (z >= 0.0 ? t + 1.0 : t - 1.0) : t;
+            row[j] = (int32_t)r;
+        }
+    }
+    return 0;
+}
+
+// Exact-order f64 residual reconstruction (the encoder's own decode,
+// ImageBase.cpp:266-306): zig-zag int32 coefficients -> dequant ->
+// reference-order inverse DCT -> +128 -> add prediction -> clamp,
+// writing the reconstructed frame deblockified.  Zero coefficients are
+// skipped (provably exact, see decode_to_image_exact).
+int64_t idct_recon_exact(const int32_t* czz, int64_t n_blocks,
+                         int block_size, const int32_t* zz,
+                         const double* wi, const double* quant,
+                         const uint8_t* pred, int64_t h, int64_t w,
+                         uint8_t* out) {
+    const int k = block_size * block_size;
+    if (k > 256) return -1;
+    const int64_t wb = w / block_size;
+    if (wb <= 0 || n_blocks != wb * (h / block_size)) return -1;
+    #pragma omp parallel for schedule(static) if (n_blocks > 1024)
+    for (int64_t n = 0; n < n_blocks; n++) {
+        const int32_t* src = czz + n * k;
+        int32_t cf[256];
+        for (int t = 0; t < k; t++) cf[t] = 0;
+        for (int j = 0; j < k; j++) cf[zz[j]] = src[j];
+        double acc[256];
+        for (int t = 0; t < k; t++) acc[t] = 0.0;
+        for (int c = 0; c < k; c++) {
+            if (cf[c] == 0) continue;
+            const double y = (double)cf[c] * quant[c];
+            const double* wr = wi + (size_t)c * k;
+            for (int t = 0; t < k; t++) {
+                const double p = y * wr[t];
+                acc[t] += p;
+            }
+        }
+        const int64_t px0 = (n / wb) * (int64_t)block_size * w
+                            + (n % wb) * block_size;
+        uint8_t* base = out + px0;
+        const uint8_t* pbase = pred + px0;
+        for (int r = 0; r < block_size; r++) {
+            uint8_t* orow = base + (int64_t)r * w;
+            const uint8_t* prow = pbase + (int64_t)r * w;
+            const double* yr = acc + r * block_size;
+            for (int c2 = 0; c2 < block_size; c2++) {
+                const double e = yr[c2] + 128.0;
+                double pv = (double)prow[c2] + e;
+                pv = pv < 0.0 ? 0.0 : (pv > 255.0 ? 255.0 : pv);
+                orow[c2] = (uint8_t)pv;
+            }
         }
     }
     return 0;
