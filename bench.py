@@ -161,26 +161,58 @@ def main() -> int:
     except Exception as e:
         note(f"decode bench failed: {e}")
 
-    # Host (CPU-only) encode — bit-parity wire output, fully native back
-    # end since round 3.  On this tunnel-limited box it outruns the
-    # device e2e (the chip itself is ~30x faster but sits behind a
-    # ~10-40 MB/s link); reference baseline is the same 461.9 ms OpenMP.
+    # Host (CPU-only) paths — bit-parity wire output, fully native back
+    # end since round 3.  Measured in a CLEAN SUBPROCESS: the axon tunnel
+    # client's background threads/allocator state skew in-process host
+    # timings by 2-30x, and a standalone process is how the host codec
+    # actually runs.  Reference baselines: 461.9 ms image encode,
+    # 0.38 Mpix/s video encode.
     try:
-        times = []
-        encode_image(img, quant, use_rle=True, use_huffman=True,
-                     backend="numpy")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            encode_image(img, quant, use_rle=True, use_huffman=True,
-                         backend="numpy")
-            times.append(time.perf_counter() - t0)
-        extra["host_encode_ms"] = round(min(times) * 1e3, 1)
-        extra["host_encode_mpix_s"] = round(
-            img.size / min(times) / 1e6, 1)
+        import subprocess
+
+        script = r"""
+import json, time, numpy as np
+from imageencoder_tpu.models.image import encode_image
+from imageencoder_tpu.models.video import encode_video
+from imageencoder_tpu.utils.quant import QuantMatrix
+raw = np.fromfile("/root/reference/bin/ex4.raw", np.uint8).reshape(912, 4096)
+quant = QuantMatrix.from_file("/root/reference/bin/matrix.txt")
+encode_image(raw, quant, use_rle=True, use_huffman=True, backend="numpy")
+ts = []
+for _ in range(5):
+    t0 = time.perf_counter()
+    encode_image(raw, quant, use_rle=True, use_huffman=True,
+                 backend="numpy")
+    ts.append(time.perf_counter() - t0)
+out = {"host_encode_ms": round(min(ts) * 1e3, 1),
+       "host_encode_mpix_s": round(raw.size / min(ts) / 1e6, 1)}
+rng = np.random.default_rng(0)
+vw, vh, nf = 1280, 720, 25
+base = np.kron(rng.integers(0, 256, (vh // 8, vw // 8)), np.ones((8, 8)))
+fr = []
+for f in range(nf):
+    y = np.clip(np.roll(base, (f * 2, f * 3), (0, 1))
+                + rng.normal(0, 3, base.shape), 0, 255).astype(np.uint8)
+    fr.append(y.tobytes() + bytes(vw * vh // 2))
+vd = b"".join(fr)
+encode_video(vd, vw, vh, quant, True, 4, 16, use_huffman=True,
+             backend="numpy")
+t0 = time.perf_counter()
+encode_video(vd, vw, vh, quant, True, 4, 16, use_huffman=True,
+             backend="numpy")
+out["host_video_encode_mpix_s"] = round(
+    vw * vh * nf / (time.perf_counter() - t0) / 1e6, 2)
+print(json.dumps(out))
+"""
+        r = subprocess.run([sys.executable, "-c", script], cwd="/root/repo",
+                           capture_output=True, text=True, timeout=600)
+        extra.update(json.loads(r.stdout.strip().splitlines()[-1]))
         note(f"host encode {extra['host_encode_ms']} ms "
-             f"({extra['host_encode_mpix_s']} Mpix/s, bit-parity)")
+             f"({extra['host_encode_mpix_s']} Mpix/s, bit-parity); "
+             f"host video {extra['host_video_encode_mpix_s']} Mpix/s "
+             f"(subprocess)")
     except Exception as e:
-        note(f"host encode bench failed: {e}")
+        note(f"host bench failed: {e}")
 
     # Video encode (reference: ~0.38 Mpix/s on 720p25).
     try:
@@ -210,17 +242,9 @@ def main() -> int:
         extra["video_vs_baseline"] = round(vmpix / BASELINE_VIDEO_MPIX_S, 1)
         note(f"video encode {v_s:.2f} s = {vmpix:.1f} Mpix/s")
 
-        # Host (CPU-only) video encode — native motion search + encode
-        # back end; no tunnel in the path. Reference: 0.38 Mpix/s.
-        t0 = time.perf_counter()
-        venc_host = encode_video(vdata, vw, vh, quant, True, 4, 16,
-                                 use_huffman=True, backend="numpy")
-        vh_s = time.perf_counter() - t0
-        assert len(venc_host) > 0  # f32 device ties may differ by bytes
-        extra["host_video_encode_mpix_s"] = round(
-            vw * vh * nf / vh_s / 1e6, 2)
-        note(f"host video encode {vh_s:.2f} s = "
-             f"{extra['host_video_encode_mpix_s']} Mpix/s")
+        # (Host CPU-only video encode is measured in the clean-subprocess
+        # host bench below — in-process timings here are skewed by the
+        # tunnel client's background threads.)
     except Exception as e:
         note(f"video bench failed: {e}")
 
