@@ -173,8 +173,13 @@ def encode_image_batch(imgs, quant: QuantMatrix, use_rle: bool = True,
 
     # The fused TPU path models the header hole as 2 zero pseudo-records
     # of <= lw*32 bits each; every legal header fits (image header is
-    # bounded by 37 + B*B*16 bits), but check rather than assume.
-    assert hdr_bits <= 2 * 32 * frontend_lw(block_size, norm), hdr_bits
+    # bounded by 37 + B*B*16 bits), but check rather than assume — a bare
+    # assert would vanish under `python -O` and silently truncate headers.
+    hdr_cap = 2 * 32 * frontend_lw(block_size, norm)
+    if hdr_bits > hdr_cap:
+        raise ValueError(
+            f"image header of {hdr_bits} bits exceeds the batch packer's "
+            f"{hdr_cap}-bit header hole (block_size={block_size})")
 
     fn = _make_batch_encode(block_size, use_rle, norm)
     words, seg_word_start, seg_bits = fn(

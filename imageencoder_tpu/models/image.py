@@ -112,6 +112,9 @@ def encode_image(img: np.ndarray, quant: QuantMatrix, use_rle: bool = True,
             words, total = make_encode_packed(block_size, use_rle, norm)(*args)
             return words_to_bytes(words, int(total))
     else:
+        from ..runtime.native import tune_allocator
+
+        tune_allocator()
         with profiling.stage("transform"):
             # Both host backends use the fused native exact-order
             # transform since round 3: it is FASTER than the f32 BLAS
@@ -304,6 +307,10 @@ def decode_image(data: bytes, norm: str = "reference", backend: str = "numpy",
         from ..utils.exceptions import StreamFormatError
 
         raise StreamFormatError("empty stream")
+    if backend in ("fast", "numpy"):
+        from ..runtime.native import tune_allocator
+
+        tune_allocator()
     if data[0] & 0x80:  # Huffman flag bit (stream is MSB-first)
         from ..ops.huffman import huffman_decode
 

@@ -258,6 +258,9 @@ def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
             return huffman_encode(inner)
         return inner
 
+    from ..runtime.native import tune_allocator
+
+    tune_allocator()  # per-frame numpy temporaries: keep off the mmap path
     ref: np.ndarray | None = None  # previous frame (raw, or recon P)
     field_vals = [np.asarray(writer.values, dtype=np.int64)]
     field_nbits = [np.asarray(writer.nbits, dtype=np.int64)]
@@ -396,6 +399,9 @@ def decode_video(data: bytes, motioncomp: bool = True,
         from ..utils.exceptions import StreamFormatError
 
         raise StreamFormatError("empty stream")
+    from ..runtime.native import tune_allocator
+
+    tune_allocator()  # host stages allocate per-frame temporaries
     # Stay in packed BYTES end-to-end (like decode_image): the 8x bit
     # array is only materialized for the small header prefix and the
     # per-frame mvec ranges; walk/extract/decode all take packed bytes.

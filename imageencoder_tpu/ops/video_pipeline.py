@@ -99,9 +99,13 @@ def sad_motion_search(cur_u8, ref_u8, merange: int):
         fidx = jnp.arange(f, dtype=jnp.int32)[:, None]
         bidx = jnp.arange(n, dtype=jnp.int32)[None, :]
 
-        use_pallas = (jax.default_backend() == "tpu"
-                      if _SAD_MAPS_MODE == "auto"
-                      else _SAD_MAPS_MODE != "scan")
+        # The VMEM SAD-map kernel lays the dx axis over 128 lanes, so it
+        # handles up to 128 macroblock columns (2048 px); wider frames
+        # take the lax.scan formulation (bit-equal maps, just slower).
+        use_pallas = ((jax.default_backend() == "tpu"
+                       if _SAD_MAPS_MODE == "auto"
+                       else _SAD_MAPS_MODE != "scan")
+                      and w // MACRO <= 128)
         if use_pallas:
             # VMEM-resident all-offsets kernel (ops/pallas_motion.py):
             # one HBM read of the frames instead of D^2 — ~20x on v5e.
@@ -166,9 +170,7 @@ def sad_motion_search(cur_u8, ref_u8, merange: int):
 
     px = jnp.clip(bx[None, :] + off[:, :, 0], 0, w - MACRO)
     py = jnp.clip(by[None, :] + off[:, :, 1], 0, h - MACRO)
-    if m >= 2 and (jax.default_backend() == "tpu"
-                   if _SAD_MAPS_MODE == "auto"
-                   else _SAD_MAPS_MODE != "scan"):
+    if m >= 2 and use_pallas:
         # Gather-free prediction: per-window element gathers cost ~330 ms
         # at 720p25 on v5e; the masked-translate kernel is the mirror of
         # the SAD-map trick (ops/pallas_motion.py).

@@ -2,16 +2,42 @@
 
 from __future__ import annotations
 
+import hashlib
 import pathlib
+import platform
 import subprocess
 
 HERE = pathlib.Path(__file__).parent / "native"
 
 
+def _host_tag() -> str:
+    """Fingerprint of the ISA the compiler will target with -march=native.
+
+    The library is never shipped (gitignored + untracked): it is rebuilt on
+    each host.  The tag guards against copying a built tree between machines
+    — CDLL-ing an AVX-512 binary on an older host dies with an uncatchable
+    SIGILL instead of the graceful Python fallback, so a tag mismatch forces
+    a rebuild here.
+    """
+    flags = ""
+    try:
+        for line in pathlib.Path("/proc/cpuinfo").read_text().splitlines():
+            if line.startswith(("flags", "Features")):
+                flags = line.split(":", 1)[1]
+                break
+    except OSError:
+        pass
+    sig = platform.machine() + " " + " ".join(sorted(flags.split()))
+    return hashlib.sha256(sig.encode()).hexdigest()[:16]
+
+
 def build(verbose: bool = False) -> pathlib.Path:
     src = HERE / "runtime.cpp"
     out = HERE / "libier_runtime.so"
-    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+    tag = HERE / "libier_runtime.so.buildtag"
+    host = _host_tag()
+    if (out.exists() and out.stat().st_mtime >= src.stat().st_mtime
+            and tag.exists() and tag.read_text().strip() == host):
         return out
     # -ffp-contract=off: dct_exact must round after every multiply exactly
     # like the reference binary / numpy path (no FMA contraction; safe to
@@ -24,6 +50,29 @@ def build(verbose: bool = False) -> pathlib.Path:
     except subprocess.CalledProcessError:
         cmd.remove("-march=native")  # exotic host: portable fallback
         subprocess.run(cmd, check=True, capture_output=not verbose)
+    tag.write_text(host + "\n")
+    return out
+
+
+def build_sanitized(kind: str = "thread",
+                    verbose: bool = False) -> pathlib.Path:
+    """Build a -fsanitize={thread,address} instrumented runtime.
+
+    Used by the sanitizer test gate (tests/test_sanitizers.py) to run the
+    OpenMP chunk-parallel packers and the speculative Huffman FSM under
+    TSAN/ASAN — the native concurrency analogue of the reference's
+    Valgrind-driven fix (BitStream.cpp:16-19).  Never loaded by the
+    production loader.
+    """
+    assert kind in ("thread", "address")
+    src = HERE / "runtime.cpp"
+    out = HERE / f"libier_runtime_{kind[0]}san.so"
+    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+        return out
+    cmd = ["g++", "-O1", "-g", "-std=c++17", "-fopenmp",
+           "-ffp-contract=off", f"-fsanitize={kind}", "-shared", "-fPIC",
+           str(src), "-o", str(out)]
+    subprocess.run(cmd, check=True, capture_output=not verbose)
     return out
 
 

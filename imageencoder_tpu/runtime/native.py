@@ -36,11 +36,7 @@ def _load():
     if not so.exists():
         return None
     lib = ctypes.CDLL(str(so))
-    # Process-wide allocator tuning: keep numpy's large per-frame
-    # temporaries on the heap instead of per-allocation mmap/munmap
-    # (~3x on the host video path; see runtime.cpp tune_host_allocator).
     lib.tune_host_allocator.restype = ctypes.c_longlong
-    lib.tune_host_allocator()
     lib.walk_offsets.restype = ctypes.c_longlong
     lib.walk_offsets.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong, ctypes.c_longlong,
@@ -133,6 +129,34 @@ def _load():
         ctypes.POINTER(ctypes.c_int16)]
     _LIB = lib
     return lib
+
+
+_TUNED = False
+
+
+def tune_allocator() -> None:
+    """Process-wide glibc allocator tuning for the host hot paths: raises
+    M_MMAP_THRESHOLD/M_TRIM_THRESHOLD so numpy's tens-of-MB per-frame
+    temporaries stay on the heap instead of per-allocation mmap/munmap
+    (~3x on the host video path; see runtime.cpp tune_host_allocator).
+
+    Deliberately NOT run at import/load time: it permanently pins RSS at
+    the high-water mark, which an embedding application may not want.  The
+    host video/image encode and decode entry points call this; library
+    consumers touching only individual kernels are left untouched.  Set
+    IER_NO_ALLOC_TUNE=1 to disable entirely.
+    """
+    global _TUNED
+    if _TUNED:
+        return
+    _TUNED = True
+    import os
+
+    if os.environ.get("IER_NO_ALLOC_TUNE"):
+        return
+    lib = _load()
+    if lib is not None:
+        lib.tune_host_allocator()
 
 
 def walk_offsets_native(bits: np.ndarray, start_bit: int, n_blocks: int,

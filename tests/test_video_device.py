@@ -37,6 +37,27 @@ def test_batched_motion_matches_per_frame():
             pred_d[f], predict_image(frames[f - 1], mv_n, 64, 64))
 
 
+def test_wide_frame_sad_search_falls_back_to_scan(monkeypatch):
+    """Frames wider than 128 macroblocks (2048 px) exceed the Pallas
+    SAD-map kernel's lane layout: sad_motion_search must route them to
+    the lax.scan formulation instead of asserting (ADVICE r3)."""
+    from imageencoder_tpu.ops import video_pipeline as vp
+
+    rng = np.random.default_rng(3)
+    h, w = 16, 2176  # 136 macroblock columns > 128
+    cur = jnp.asarray(rng.integers(0, 256, (2, h, w), dtype=np.uint8))
+    ref = jnp.asarray(rng.integers(0, 256, (2, h, w), dtype=np.uint8))
+
+    monkeypatch.setattr(vp, "_SAD_MAPS_MODE", "scan")
+    off_scan, pred_scan = vp.sad_motion_search(cur, ref, 4)
+    # "interpret" would run the Pallas kernel; the width guard must send
+    # this frame down the scan path (identical results, no assert).
+    monkeypatch.setattr(vp, "_SAD_MAPS_MODE", "interpret")
+    off_p, pred_p = vp.sad_motion_search(cur, ref, 4)
+    np.testing.assert_array_equal(np.asarray(off_scan), np.asarray(off_p))
+    np.testing.assert_array_equal(np.asarray(pred_scan), np.asarray(pred_p))
+
+
 def test_device_video_stream_decodes(quant):
     data, frames_list = make_video(smooth=True)
     enc = encode_video(data, 64, 64, quant, True, 4, 16, use_huffman=True,
