@@ -151,6 +151,68 @@ def _residual_fields_and_recon(residual, pred, quant, use_rle, norm, backend,
     return vals, nbits, recon
 
 
+def _encode_video_host_native(frames, quant: QuantMatrix, use_rle: bool,
+                              gop: int, merange: int, norm: str,
+                              ref_mode: str, block_size: int,
+                              writer: BitWriter) -> bytes:
+    """Whole-video host encode through the one-pass native back end.
+
+    Serial frame loop (the wire format's bit offsets chain through frames),
+    OpenMP-parallel within each frame: native motion search + prediction,
+    then runtime.cpp::encode_frame_pack fuses residual read, exact-order
+    f64 DCT + quantize + zig-zag, RLE stats, mvec fields and the
+    chunk-parallel record bitpack directly into one stream buffer.  In raw
+    ref_mode the reconstruction is skipped entirely (the next frame
+    references raw pixels); in recon mode it lands in a per-frame buffer
+    that becomes the next reference.  Bit-identical to the numpy fields
+    chain (test_video_native pins this).
+    """
+    from ..ops.dct import _fwd_weights, _inv_weights
+    from ..ops.motion import search_steps
+    from ..runtime.native import (encode_frame_pack_native,
+                                  find_motion_native, predict_frame_native)
+
+    n_frames, h, w = frames.shape
+    k = block_size * block_size
+    n_micro = (h // block_size) * (w // block_size)
+    has_p = gop > 1 and h % MACRO == 0 and w % MACRO == 0
+    n_macro = (h // MACRO) * (w // MACRO) if has_p else 0
+    mb = mvec_bits(merange)
+    wf, scale = _fwd_weights(block_size, norm)
+    wi = _inv_weights(block_size, norm) if ref_mode == "recon" else None
+    zz = zigzag_order(block_size)
+    steps = search_steps(merange)
+    qf = quant.as_float()
+
+    cap_bits = writer.position + 64 + n_frames * (
+        2 * n_macro * mb + n_micro * (4 + 17 * (k + 1)))
+    out = np.zeros((cap_bits + 7) // 8, dtype=np.uint8)
+    prefix, _ = bitpack.pack_fields(np.asarray(writer.values, dtype=np.int64),
+                                    np.asarray(writer.nbits, dtype=np.int64))
+    out[:len(prefix)] = np.frombuffer(prefix, dtype=np.uint8)
+    pos = writer.position
+    ref: np.ndarray | None = None
+    Logger.progress(0, n_frames)
+    for f in range(n_frames):
+        cur = np.ascontiguousarray(frames[f])
+        if f % gop == 0:
+            pos = encode_frame_pack_native(
+                cur, None, qf, wf, scale, None, zz, block_size, use_rle,
+                None, 0, None, pos, out)
+            ref = cur  # I-frames are never reconstructed (Frame.cpp:130-159)
+        else:
+            mv = find_motion_native(cur, ref, steps)
+            pred = predict_frame_native(ref, mv)
+            recon = (np.empty((h, w), np.uint8) if ref_mode == "recon"
+                     else None)
+            pos = encode_frame_pack_native(
+                cur, pred, qf, wf, scale, wi, zz, block_size, use_rle,
+                mv, mb, recon, pos, out)
+            ref = cur if ref_mode == "raw" else recon
+        Logger.progress(f + 1, n_frames)
+    return out[:(pos + 7) // 8].tobytes()
+
+
 def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
                  use_rle: bool, gop: int, merange: int,
                  use_huffman: bool = True, norm: str = "reference",
@@ -261,6 +323,26 @@ def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
     from ..runtime.native import tune_allocator
 
     tune_allocator()  # per-frame numpy temporaries: keep off the mmap path
+
+    if backend_eff in ("numpy", "all-i"):
+        # One-pass native back end: per frame, motion + prediction + fused
+        # residual DCT/quant/stats/mvec/bitpack straight into the stream
+        # buffer (runtime.cpp::encode_frame_pack) — no int64 field tensors,
+        # no whole-video concatenate.  Bit-identical to the fallback chain.
+        try:
+            inner = _encode_video_host_native(frames, quant, use_rle, gop,
+                                              merange, norm, ref_mode,
+                                              block_size, writer)
+        except Exception as e:
+            from ..runtime.native import warn_fallback
+            warn_fallback("encode_video_native", e)
+        else:
+            if use_huffman:
+                from ..ops.huffman import huffman_encode
+
+                return huffman_encode(inner)
+            return inner
+
     ref: np.ndarray | None = None  # previous frame (raw, or recon P)
     field_vals = [np.asarray(writer.values, dtype=np.int64)]
     field_nbits = [np.asarray(writer.nbits, dtype=np.int64)]

@@ -64,6 +64,16 @@ def _load():
         ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong, ctypes.c_int,
         ctypes.c_int, ctypes.c_longlong, ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_longlong]
+    lib.encode_frame_pack.restype = ctypes.c_longlong
+    lib.encode_frame_pack.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_longlong, ctypes.c_longlong, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong]
     lib.find_motion.restype = ctypes.c_longlong
     lib.find_motion.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
@@ -383,6 +393,57 @@ def encode_pack_blocks_native(coeffs_zz: np.ndarray, use_rle: bool,
     if total < 0:
         raise ValueError("native encode_pack_blocks failed")
     return out[: (int(total) + 7) // 8].tobytes(), int(total)
+
+
+def encode_frame_pack_native(cur: np.ndarray, pred: np.ndarray | None,
+                             quant: np.ndarray, wf: np.ndarray,
+                             scale: np.ndarray, wi: np.ndarray | None,
+                             zz: np.ndarray, block_size: int, use_rle: bool,
+                             mvec: np.ndarray | None, mvec_nbits: int,
+                             recon_out: np.ndarray | None, start_bit: int,
+                             out: np.ndarray) -> int:
+    """One-pass native frame encode into the shared stream buffer `out`
+    (zero-initialized u8, header prefix pre-placed): residual/pixel read +
+    exact f64 DCT + quantize + RLE stats + mvec fields + chunk-parallel
+    record bitpack, plus the reconstruction when `recon_out` is given.
+    Returns the new total bit position.  Bit-identical to the
+    blockify -> dct_quantize_exact* -> block_stats/fields -> pack_fields
+    chain it replaces (Frame.cpp:160-243 in one sweep)."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("native runtime not built")
+    cur = np.ascontiguousarray(cur, dtype=np.uint8)
+    h, w = cur.shape
+    k = block_size * block_size
+    as_u8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))  # noqa: E731
+    as_f64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
+    pred_p = None
+    if pred is not None:
+        pred = np.ascontiguousarray(pred, dtype=np.uint8)
+        pred_p = as_u8p(pred)
+    wfc = np.ascontiguousarray(wf, dtype=np.float64)
+    sc = np.ascontiguousarray(scale, dtype=np.float64)
+    qc = np.ascontiguousarray(np.asarray(quant, dtype=np.float64)).reshape(k)
+    zc = np.ascontiguousarray(zz, dtype=np.int32)
+    mv_p, n_macro = None, 0
+    if mvec is not None:
+        mvec = np.ascontiguousarray(mvec, dtype=np.int32)
+        mv_p = mvec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        n_macro = mvec.shape[0]
+    wi_p = None
+    if wi is not None and recon_out is not None:
+        wi = np.ascontiguousarray(wi, dtype=np.float64)
+        wi_p = as_f64p(wi)
+    rc = lib.encode_frame_pack(
+        as_u8p(cur), pred_p, h, w, int(block_size), as_f64p(wfc),
+        as_f64p(sc), as_f64p(qc), zc.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)),
+        int(bool(use_rle)), mv_p, n_macro, int(mvec_nbits), wi_p,
+        as_u8p(recon_out) if recon_out is not None else None,
+        int(start_bit), as_u8p(out), out.size)
+    if rc < 0:
+        raise ValueError("native encode_frame_pack failed")
+    return int(rc)
 
 
 def extract_coeffs_native(data: bytes, offsets, dbits, counts,

@@ -18,10 +18,12 @@
 // the offset walk and Huffman FSM stay serial (they ARE the wire format's
 // dependency chain).
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <malloc.h>
 #include <memory>
+#include <thread>
 #include <vector>
 
 #ifdef _OPENMP
@@ -50,6 +52,327 @@ struct BitReader {
         return v;
     }
 };
+
+// MSB-first bit emitter into a shared zero-initialized buffer.  The first
+// flushed byte and the partial tail byte may be shared with a neighboring
+// writer (chunk or previous stream segment) and are merged with relaxed
+// atomic ORs; interior bytes are exclusively owned plain stores.  This is
+// the one emit discipline every parallel packer in this file uses.
+struct BitEmitter {
+    uint8_t* out;
+    int64_t byte_pos;
+    uint64_t acc;
+    int na;
+    bool first;
+
+    BitEmitter(uint8_t* o, int64_t bit_pos)
+        : out(o), byte_pos(bit_pos >> 3), acc(0), na((int)(bit_pos & 7)),
+          first(true) {}
+
+    inline void put(int b, uint64_t val) {  // b <= 32
+        acc = (acc << b) | (val & ((1ull << b) - 1));
+        na += b;
+        while (na >= 8) {
+            const uint8_t by = (uint8_t)(acc >> (na - 8));
+            if (first) {
+                __atomic_fetch_or(&out[byte_pos], by, __ATOMIC_RELAXED);
+                first = false;
+            } else {
+                out[byte_pos] = by;
+            }
+            byte_pos++;
+            na -= 8;
+        }
+    }
+
+    inline void flush() {  // partial tail byte is shared with the next writer
+        if (na > 0) {
+            const uint8_t by = (uint8_t)((acc << (8 - na)) & 0xFF);
+            __atomic_fetch_or(&out[byte_pos], by, __ATOMIC_RELAXED);
+        }
+    }
+};
+
+// Per-block RLE stats (Block.cpp:186-232 incl. the trailing-strip quirk and
+// the ffs(0)->1 clamp).  Returns the block's record size in bits.
+static inline int64_t block_stats_one(const int32_t* c, int k, int use_rle,
+                                      uint8_t* db_o, int16_t* cnt_o,
+                                      int16_t* npay_o) {
+    int last = -1, maxb = 0;
+    for (int j = 0; j < k; j++) {
+        const int32_t v = c[j];
+        if (v != 0) {
+            last = j;
+            // minimal signed width (utils.hpp:226-243 semantics)
+            const uint32_t m = v >= 0 ? (uint32_t)v : ~(uint32_t)v;
+            const int w = (m ? 32 - __builtin_clz(m) : 0) + 1;
+            if (w > maxb) maxb = w;
+        }
+    }
+    const int length_full = last + 1;
+    const int ffs_l = length_full > 0
+        ? 32 - __builtin_clz((uint32_t)length_full) : 0;
+    int data_bits = maxb > ffs_l ? maxb : ffs_l;
+    if (data_bits < 1) data_bits = 1;
+    int count, n_payload;
+    if (use_rle) {
+        if (length_full == k) {
+            int last_h = -1;
+            for (int j = k - 2; j >= 0; j--)
+                if (c[j] != 0) { last_h = j; break; }
+            const int length_head = last_h + 1;
+            const int gap = (k - 1) - length_head;
+            count = gap > 0 ? length_head : k;
+        } else {
+            count = length_full;
+        }
+        n_payload = count;
+    } else {
+        count = length_full;
+        n_payload = k;
+    }
+    *db_o = (uint8_t)data_bits;
+    *cnt_o = (int16_t)count;
+    *npay_o = (int16_t)n_payload;
+    return 4 + (use_rle ? data_bits : 0) + (int64_t)n_payload * data_bits;
+}
+
+// Emit the wire records of blocks [lo, hi) starting at bit `start`
+// ([4-bit width][width-bit count if rle][payload], Block.cpp:372-413).
+static void emit_block_range(const int32_t* coeffs, int64_t lo, int64_t hi,
+                             int k, int use_rle, const uint8_t* db,
+                             const int16_t* cntv, const int16_t* npay,
+                             int64_t start, uint8_t* out) {
+    BitEmitter em(out, start);
+    for (int64_t nb = lo; nb < hi; nb++) {
+        const int32_t* c = coeffs + nb * k;
+        const int data_bits = db[(size_t)nb];
+        em.put(4, (uint64_t)data_bits);
+        if (use_rle) em.put(data_bits, (uint64_t)(int64_t)cntv[(size_t)nb]);
+        const int np_ = npay[(size_t)nb];
+        for (int j = 0; j < np_; j++)
+            em.put(data_bits, (uint64_t)(int64_t)c[j]);
+    }
+    em.flush();
+}
+
+// ---- Huffman byte-FSM tables (shared by the whole-stream decoder and the
+// pipelined image decoder).  States are tree node ids; T[state][byte] packs
+// (next_state << 4) | n_emitted, with the <= 8 emitted symbols per entry in
+// sym_tab.  Built by nibble composition (~8x cheaper than walking 8 tree
+// levels per entry).
+struct FsmTables {
+    std::vector<int32_t> child;    // 2 per node; -1 = absent
+    std::vector<int32_t> symbol;   // per node; -1 = internal
+    std::vector<int32_t> step_tab; // n_nodes * 256
+    std::vector<uint8_t> sym_tab;  // n_nodes * 256 * 8
+    int n_nodes = 0;
+};
+
+static void build_fsm_tables(const int32_t* syms, const int32_t* words,
+                             const int32_t* lens, int n_entries,
+                             FsmTables& ft) {
+    ft.child.assign(2, -1);
+    ft.symbol.assign(1, -1);
+    for (int e = 0; e < n_entries; e++) {
+        int32_t node = 0;
+        for (int k = lens[e] - 1; k >= 0; k--) {
+            const int bit = (words[e] >> k) & 1;
+            if (ft.child[node * 2 + bit] < 0) {
+                ft.child[node * 2 + bit] = (int32_t)ft.symbol.size();
+                ft.child.push_back(-1);
+                ft.child.push_back(-1);
+                ft.symbol.push_back(-1);
+            }
+            node = ft.child[node * 2 + bit];
+        }
+        ft.symbol[node] = syms[e];
+    }
+    const int n_nodes = (int)ft.symbol.size();
+    ft.n_nodes = n_nodes;
+    std::vector<int32_t> step4((size_t)n_nodes * 16);
+    std::vector<uint8_t> sym4((size_t)n_nodes * 16 * 4);
+    for (int st = 0; st < n_nodes; st++) {
+        for (int nib = 0; nib < 16; nib++) {
+            int32_t nd = st;
+            int c = 0;
+            uint8_t* outs = &sym4[((size_t)st * 16 + nib) * 4];
+            for (int k = 3; k >= 0; k--) {
+                const int bit = (nib >> k) & 1;
+                const int32_t nx = ft.child[nd * 2 + bit];
+                if (nx < 0) { nd = 0; continue; }
+                nd = nx;
+                if (ft.symbol[nd] >= 0) {
+                    outs[c++] = (uint8_t)ft.symbol[nd];
+                    nd = 0;
+                }
+            }
+            step4[(size_t)st * 16 + nib] = (nd << 4) | c;
+        }
+    }
+    ft.step_tab.resize((size_t)n_nodes * 256);
+    ft.sym_tab.resize((size_t)n_nodes * 256 * 8);
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+    #endif
+    for (int st = 0; st < n_nodes; st++) {
+        for (int by = 0; by < 256; by++) {
+            const int32_t e1 = step4[(size_t)st * 16 + (by >> 4)];
+            const int c1 = e1 & 15;
+            const int32_t s1 = e1 >> 4;
+            const int32_t e2 = step4[(size_t)s1 * 16 + (by & 15)];
+            const int c2 = e2 & 15;
+            uint8_t* outs = &ft.sym_tab[((size_t)st * 256 + by) * 8];
+            std::memcpy(outs, &sym4[((size_t)st * 16 + (by >> 4)) * 4], 4);
+            std::memcpy(outs + c1, &sym4[((size_t)s1 * 16 + (by & 15)) * 4],
+                        4);  // may scribble past c1+c2 within the 8B entry
+            ft.step_tab[(size_t)st * 256 + by] = ((e2 >> 4) << 4) | (c1 + c2);
+        }
+    }
+}
+
+// Bit-by-bit tree walk until byte alignment (reference Huffman.cpp:376-383:
+// an invalid path resets to the root).  Emits into `out`, returns the bit
+// position reached; *state_io carries the walk state.
+static int64_t fsm_walk_to_alignment(const uint8_t* data, int64_t nbits,
+                                     int64_t pos, const FsmTables& ft,
+                                     int32_t* state_io, uint8_t* out,
+                                     int64_t out_cap, int64_t* n_out_io) {
+    int32_t node = *state_io;
+    int64_t n_out = *n_out_io;
+    while ((pos & 7) != 0 && pos < nbits) {
+        const int bit = (data[pos >> 3] >> (7 - (pos & 7))) & 1;
+        pos++;
+        const int32_t nxt = ft.child[node * 2 + bit];
+        if (nxt < 0) { node = 0; continue; }
+        node = nxt;
+        if (ft.symbol[node] >= 0) {
+            if (n_out < out_cap) out[n_out] = (uint8_t)ft.symbol[node];
+            n_out++;
+            node = 0;
+        }
+    }
+    *state_io = node;
+    *n_out_io = n_out;
+    return pos;
+}
+
+// ---- fused per-block decode bodies (shared by the batch entry points and
+// the pipelined decoder).  Bit-identical to the loop bodies they were
+// factored out of: decode_to_image_exact (f64, reference accumulation
+// order) and decode_to_image_impl (f32 sparse accumulation). ----
+
+static inline uint32_t read_field(const uint8_t* data, int64_t nbytes,
+                                  int64_t nbits_total, int64_t pos, int b,
+                                  bool fast) {
+    if (fast) {
+        // One unaligned big-endian 64-bit load per field (b <= 15 always
+        // fits), no per-field bounds branches.
+        uint64_t wd;
+        std::memcpy(&wd, data + (pos >> 3), 8);
+        wd = __builtin_bswap64(wd) << (pos & 7);
+        return (uint32_t)(wd >> (64 - b));
+    }
+    if (pos + b <= nbits_total) {
+        // 3-byte window covers any field of <= 17 bits.
+        const int64_t byte0 = pos >> 3;
+        uint32_t wnd = (uint32_t)data[byte0] << 16;
+        if (byte0 + 1 < nbytes) wnd |= (uint32_t)data[byte0 + 1] << 8;
+        if (byte0 + 2 < nbytes) wnd |= (uint32_t)data[byte0 + 2];
+        return (wnd >> (24 - (int)(pos & 7) - b)) & ((1u << b) - 1u);
+    }
+    BitReader r{data, nbits_total, pos};
+    return r.get(b);
+}
+
+static inline void decode_block_exact_one(
+        const uint8_t* data, int64_t nbytes, int64_t off, int b, int cnt_in,
+        const int32_t* zz, int block_size, int k, const double* quant,
+        const double* wi, int64_t wb, int64_t w, int64_t n, uint8_t* out) {
+    int32_t cf[256];
+    for (int t = 0; t < k; t++) cf[t] = 0;
+    const int cnt = cnt_in < k ? cnt_in : k;
+    if (b > 0) {
+        const uint32_t sign_bit = 1u << (b - 1);
+        const uint32_t ext = ~0u << b;
+        int64_t pos = off;
+        const bool fast = ((pos + (int64_t)b * cnt) >> 3) + 9 <= nbytes;
+        for (int j = 0; j < cnt; j++) {
+            uint32_t v = read_field(data, nbytes, nbytes * 8, pos, b, fast);
+            pos += b;
+            if (v & sign_bit) v |= ext;
+            cf[zz[j]] = (int32_t)v;
+        }
+    }
+    double acc[256];
+    for (int t = 0; t < k; t++) acc[t] = 0.0;
+    for (int c = 0; c < k; c++) {
+        if (cf[c] == 0) continue;
+        const double y = (double)cf[c] * quant[c];
+        const double* wr = wi + (size_t)c * k;
+        for (int t = 0; t < k; t++) {
+            const double p = y * wr[t];
+            acc[t] += p;
+        }
+    }
+    const int64_t px0 = (n / wb) * (int64_t)block_size * w
+                        + (n % wb) * block_size;
+    uint8_t* base = out + px0;
+    for (int r = 0; r < block_size; r++) {
+        uint8_t* orow = base + (int64_t)r * w;
+        const double* yr = acc + r * block_size;
+        for (int c2 = 0; c2 < block_size; c2++) {
+            double pv = yr[c2] + 128.0;
+            pv = pv < 0.0 ? 0.0 : (pv > 255.0 ? 255.0 : pv);
+            orow[c2] = (uint8_t)pv;  // trunc == floor for pv >= 0
+        }
+    }
+}
+
+static inline void decode_block_f32_one(
+        const uint8_t* data, int64_t nbytes, int64_t off, int b, int cnt_in,
+        const int32_t* zz, int block_size, int k, const float* quant,
+        const float* wi, int64_t wb, int64_t w, int64_t n,
+        const uint8_t* pred, uint8_t* out) {
+    float y[256];
+    for (int t = 0; t < k; t++) y[t] = 128.0f;
+    const int cnt = cnt_in < k ? cnt_in : k;
+    if (b > 0) {
+        const uint32_t sign_bit = 1u << (b - 1);
+        const uint32_t ext = ~0u << b;
+        int64_t pos = off;
+        const bool fast = ((pos + (int64_t)b * cnt) >> 3) + 9 <= nbytes;
+        for (int j = 0; j < cnt; j++) {
+            uint32_t v = read_field(data, nbytes, nbytes * 8, pos, b, fast);
+            pos += b;
+            if (v & sign_bit) v |= ext;
+            const int32_t sv = (int32_t)v;
+            if (sv != 0) {
+                const int rm = zz[j];
+                const float f = (float)sv * quant[rm];
+                const float* wr = wi + (size_t)rm * k;
+                for (int t = 0; t < k; t++) y[t] += f * wr[t];
+            }
+        }
+    }
+    const int64_t px0 = (n / wb) * (int64_t)block_size * w
+                        + (n % wb) * block_size;
+    uint8_t* base = out + px0;
+    const uint8_t* pbase = pred ? pred + px0 : nullptr;
+    for (int r = 0; r < block_size; r++) {
+        uint8_t* orow = base + (int64_t)r * w;
+        const uint8_t* prow = pbase ? pbase + (int64_t)r * w : nullptr;
+        const float* yr = y + r * block_size;
+        for (int c = 0; c < block_size; c++) {
+            // P-frame recon: clamp(pred + (IDCT + 128)) — the residual
+            // carries the same -128 bias as pixels (Block.cpp:139-153,
+            // Frame.cpp:107-117).
+            float pv = prow ? (float)prow[c] + yr[c] : yr[c];
+            pv = pv < 0.0f ? 0.0f : (pv > 255.0f ? 255.0f : pv);
+            orow[c] = (uint8_t)pv;  // trunc == floor for pv >= 0
+        }
+    }
+}
 
 }  // namespace
 
@@ -450,68 +773,11 @@ static int64_t decode_to_image_impl(
     if (k > 256) return -1;
     const int64_t wb = w / block_size;
     if (wb <= 0 || n_blocks != wb * (h / block_size)) return -1;
-    const int64_t nbits_total = nbytes * 8;
     #pragma omp parallel for schedule(static) if (n_blocks > 1024)
-    for (int64_t n = 0; n < n_blocks; n++) {
-        float y[256];
-        for (int t = 0; t < k; t++) y[t] = 128.0f;
-        const int b = bits[n];
-        const int cnt = counts[n] < k ? counts[n] : k;
-        if (b > 0) {
-            const uint32_t sign_bit = 1u << (b - 1);
-            const uint32_t ext = ~0u << b;
-            int64_t pos = offsets[n];
-            const bool fast =
-                ((pos + (int64_t)b * cnt) >> 3) + 9 <= nbytes;
-            for (int j = 0; j < cnt; j++) {
-                uint32_t v = 0;
-                if (fast) {
-                    // One unaligned big-endian 64-bit load per field
-                    // (b <= 15 always fits), no per-field bounds checks.
-                    uint64_t wd;
-                    std::memcpy(&wd, data + (pos >> 3), 8);
-                    wd = __builtin_bswap64(wd) << (pos & 7);
-                    v = (uint32_t)(wd >> (64 - b));
-                } else if (pos + b <= nbits_total) {
-                    // 3-byte window covers any field of <= 17 bits.
-                    const int64_t byte0 = pos >> 3;
-                    uint32_t wnd = (uint32_t)data[byte0] << 16;
-                    if (byte0 + 1 < nbytes) wnd |= (uint32_t)data[byte0 + 1] << 8;
-                    if (byte0 + 2 < nbytes) wnd |= (uint32_t)data[byte0 + 2];
-                    v = (wnd >> (24 - (int)(pos & 7) - b)) & ((1u << b) - 1u);
-                } else {
-                    BitReader r{data, nbits_total, pos};
-                    v = r.get(b);
-                }
-                pos += b;
-                if (v & sign_bit) v |= ext;  // sign-extend
-                const int32_t sv = (int32_t)v;
-                if (sv != 0) {
-                    const int rm = zz[j];
-                    const float f = (float)sv * quant[rm];
-                    const float* wr = wi + (size_t)rm * k;
-                    for (int t = 0; t < k; t++) y[t] += f * wr[t];
-                }
-            }
-        }
-        const int64_t px0 = (n / wb) * (int64_t)block_size * w
-                            + (n % wb) * block_size;
-        uint8_t* base = out + px0;
-        const uint8_t* pbase = pred ? pred + px0 : nullptr;
-        for (int r = 0; r < block_size; r++) {
-            uint8_t* orow = base + (int64_t)r * w;
-            const uint8_t* prow = pbase ? pbase + (int64_t)r * w : nullptr;
-            const float* yr = y + r * block_size;
-            for (int c = 0; c < block_size; c++) {
-                // P-frame recon: clamp(pred + (IDCT + 128)) — the residual
-                // carries the same -128 bias as pixels (Block.cpp:139-153,
-                // Frame.cpp:107-117).
-                float pv = prow ? (float)prow[c] + yr[c] : yr[c];
-                pv = pv < 0.0f ? 0.0f : (pv > 255.0f ? 255.0f : pv);
-                orow[c] = (uint8_t)pv;  // trunc == floor for pv >= 0
-            }
-        }
-    }
+    for (int64_t n = 0; n < n_blocks; n++)
+        decode_block_f32_one(data, nbytes, offsets[n], bits[n], counts[n],
+                             zz, block_size, k, quant, wi, wb, w, n, pred,
+                             out);
     return 0;
 }
 
@@ -532,68 +798,10 @@ int64_t decode_to_image_exact(const uint8_t* data, int64_t nbytes,
     if (k > 256) return -1;
     const int64_t wb = w / block_size;
     if (wb <= 0 || n_blocks != wb * (h / block_size)) return -1;
-    const int64_t nbits_total = nbytes * 8;
     #pragma omp parallel for schedule(static) if (n_blocks > 1024)
-    for (int64_t n = 0; n < n_blocks; n++) {
-        int32_t cf[256];
-        for (int t = 0; t < k; t++) cf[t] = 0;
-        const int b = bits[n];
-        const int cnt = counts[n] < k ? counts[n] : k;
-        if (b > 0) {
-            const uint32_t sign_bit = 1u << (b - 1);
-            const uint32_t ext = ~0u << b;
-            int64_t pos = offsets[n];
-            const bool fast =
-                ((pos + (int64_t)b * cnt) >> 3) + 9 <= nbytes;
-            for (int j = 0; j < cnt; j++) {
-                uint32_t v = 0;
-                if (fast) {
-                    uint64_t wd;
-                    std::memcpy(&wd, data + (pos >> 3), 8);
-                    wd = __builtin_bswap64(wd) << (pos & 7);
-                    v = (uint32_t)(wd >> (64 - b));
-                } else if (pos + b <= nbits_total) {
-                    const int64_t byte0 = pos >> 3;
-                    uint32_t wnd = (uint32_t)data[byte0] << 16;
-                    if (byte0 + 1 < nbytes)
-                        wnd |= (uint32_t)data[byte0 + 1] << 8;
-                    if (byte0 + 2 < nbytes)
-                        wnd |= (uint32_t)data[byte0 + 2];
-                    v = (wnd >> (24 - (int)(pos & 7) - b))
-                        & ((1u << b) - 1u);
-                } else {
-                    BitReader r{data, nbits_total, pos};
-                    v = r.get(b);
-                }
-                pos += b;
-                if (v & sign_bit) v |= ext;
-                cf[zz[j]] = (int32_t)v;
-            }
-        }
-        double acc[256];
-        for (int t = 0; t < k; t++) acc[t] = 0.0;
-        for (int c = 0; c < k; c++) {
-            if (cf[c] == 0) continue;
-            const double y = (double)cf[c] * quant[c];
-            const double* wr = wi + (size_t)c * k;
-            for (int t = 0; t < k; t++) {
-                const double p = y * wr[t];
-                acc[t] += p;
-            }
-        }
-        const int64_t px0 = (n / wb) * (int64_t)block_size * w
-                            + (n % wb) * block_size;
-        uint8_t* base = out + px0;
-        for (int r = 0; r < block_size; r++) {
-            uint8_t* orow = base + (int64_t)r * w;
-            const double* yr = acc + r * block_size;
-            for (int c2 = 0; c2 < block_size; c2++) {
-                double pv = yr[c2] + 128.0;
-                pv = pv < 0.0 ? 0.0 : (pv > 255.0 ? 255.0 : pv);
-                orow[c2] = (uint8_t)pv;  // trunc == floor for pv >= 0
-            }
-        }
-    }
+    for (int64_t n = 0; n < n_blocks; n++)
+        decode_block_exact_one(data, nbytes, offsets[n], bits[n], counts[n],
+                               zz, block_size, k, quant, wi, wb, w, n, out);
     return 0;
 }
 
@@ -864,48 +1072,10 @@ int64_t encode_pack_blocks(const int32_t* coeffs, int64_t n_blocks, int k,
         const int64_t lo = (int64_t)ci * per;
         const int64_t hi = lo + per < n_blocks ? lo + per : n_blocks;
         int64_t bits = 0;
-        for (int64_t nb = lo; nb < hi; nb++) {
-            const int32_t* c = coeffs + nb * k;
-            int last = -1, maxb = 0;
-            for (int j = 0; j < k; j++) {
-                const int32_t v = c[j];
-                if (v != 0) {
-                    last = j;
-                    // minimal signed width (utils.hpp:226-243 semantics)
-                    const uint32_t m = v >= 0 ? (uint32_t)v : ~(uint32_t)v;
-                    const int w = (m ? 32 - __builtin_clz(m) : 0) + 1;
-                    if (w > maxb) maxb = w;
-                }
-            }
-            const int length_full = last + 1;
-            const int ffs_l =
-                length_full > 0 ? 32 - __builtin_clz((uint32_t)length_full)
-                                : 0;
-            int data_bits = maxb > ffs_l ? maxb : ffs_l;
-            if (data_bits < 1) data_bits = 1;
-            int count, n_payload;
-            if (use_rle) {
-                if (length_full == k) {
-                    int last_h = -1;
-                    for (int j = k - 2; j >= 0; j--)
-                        if (c[j] != 0) { last_h = j; break; }
-                    const int length_head = last_h + 1;
-                    const int gap = (k - 1) - length_head;
-                    count = gap > 0 ? length_head : k;
-                } else {
-                    count = length_full;
-                }
-                n_payload = count;
-            } else {
-                count = length_full;
-                n_payload = k;
-            }
-            db[(size_t)nb] = (uint8_t)data_bits;
-            cntv[(size_t)nb] = (int16_t)count;
-            npay[(size_t)nb] = (int16_t)n_payload;
-            bits += 4 + (use_rle ? data_bits : 0)
-                  + (int64_t)n_payload * data_bits;
-        }
+        for (int64_t nb = lo; nb < hi; nb++)
+            bits += block_stats_one(coeffs + nb * k, k, use_rle,
+                                    &db[(size_t)nb], &cntv[(size_t)nb],
+                                    &npay[(size_t)nb]);
         cstart[(size_t)ci + 1] = bits;
     }
     cstart[0] = start_bit;
@@ -920,43 +1090,130 @@ int64_t encode_pack_blocks(const int32_t* coeffs, int64_t n_blocks, int k,
     for (int ci = 0; ci < n_chunks; ci++) {
         const int64_t lo = (int64_t)ci * per;
         const int64_t hi = lo + per < n_blocks ? lo + per : n_blocks;
-        const int64_t p = cstart[(size_t)ci];
-        int64_t byte_pos = p >> 3;
-        uint64_t acc = 0;
-        int na = (int)(p & 7);
-        bool first = true;
-        #define EMIT(bits_, val_)                                          \
-            do {                                                           \
-                const int b_ = (bits_);                                    \
-                acc = (acc << b_)                                          \
-                    | ((uint64_t)(val_) & ((1ull << b_) - 1));             \
-                na += b_;                                                  \
-                while (na >= 8) {                                          \
-                    const uint8_t by_ = (uint8_t)(acc >> (na - 8));        \
-                    if (first) {                                           \
-                        __atomic_fetch_or(&out[byte_pos], by_,             \
-                                          __ATOMIC_RELAXED);               \
-                        first = false;                                     \
-                    } else {                                               \
-                        out[byte_pos] = by_;                               \
-                    }                                                      \
-                    byte_pos++;                                            \
-                    na -= 8;                                               \
-                }                                                          \
-            } while (0)
+        emit_block_range(coeffs, lo, hi, k, use_rle, db.data(), cntv.data(),
+                         npay.data(), cstart[(size_t)ci], out);
+    }
+    return total;
+}
+
+// One-pass native FRAME encode (the video back end, Frame.cpp:160-243):
+// per 4x4 block, residual/pixel read straight from the [h, w] images
+// (no blockified f64 intermediates), exact-order f64 DCT + quantize +
+// zig-zag (dct_quantize_exact semantics), RLE stats, then motion-vector
+// fields (x, y per MacroBlock, Block.cpp:416-423) followed by the
+// chunk-parallel block-record emit, all at bit offset `start_bit` of the
+// shared zero-initialized stream buffer.  With `recon` non-null the
+// reconstruction (pred + dequantized residual, clamped — the encoder's own
+// decode, ImageBase.cpp:266-306) is also produced for the next P-frame's
+// reference.  pred == null encodes an I-frame (no mvecs, pixels direct).
+// Returns the new total bit position, or -1 on capacity error.
+int64_t encode_frame_pack(const uint8_t* cur, const uint8_t* pred,
+                          int64_t h, int64_t w, int block_size,
+                          const double* wf, const double* scale,
+                          const double* quant, const int32_t* zz,
+                          int use_rle, const int32_t* mvec, int64_t n_macro,
+                          int mvec_bits, const double* wi, uint8_t* recon,
+                          int64_t start_bit, uint8_t* out, int64_t out_cap) {
+    const int k = block_size * block_size;
+    if (k > 256 || w % block_size || h % block_size) return -1;
+    const int64_t wb = w / block_size;
+    const int64_t n_blocks = wb * (h / block_size);
+    std::vector<int32_t> czz((size_t)n_blocks * k);
+    std::vector<uint8_t> db((size_t)n_blocks);
+    std::vector<int16_t> cntv((size_t)n_blocks), npay((size_t)n_blocks);
+
+    int n_chunks = 1;
+    #ifdef _OPENMP
+    if (n_blocks > 2048) n_chunks = omp_get_max_threads();
+    #endif
+    const int64_t per = (n_blocks + n_chunks - 1) / n_chunks;
+    std::vector<int64_t> cstart((size_t)n_chunks + 1);
+
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+    #endif
+    for (int ci = 0; ci < n_chunks; ci++) {
+        const int64_t lo = (int64_t)ci * per;
+        const int64_t hi = lo + per < n_blocks ? lo + per : n_blocks;
+        int64_t bits = 0;
+        double x[256], acc[256];
         for (int64_t nb = lo; nb < hi; nb++) {
-            const int32_t* c = coeffs + nb * k;
-            const int data_bits = db[(size_t)nb];
-            EMIT(4, data_bits);
-            if (use_rle) EMIT(data_bits, cntv[(size_t)nb]);
-            const int np_ = npay[(size_t)nb];
-            for (int j = 0; j < np_; j++) EMIT(data_bits, c[j]);
+            const int64_t by = (nb / wb) * block_size;
+            const int64_t bx = (nb % wb) * block_size;
+            const uint8_t* cb = cur + by * w + bx;
+            // Residual carries the same -128 bias as pixels (SUBTRACT_128,
+            // Block.cpp:139-153); cur - pred is integer-exact in f64.
+            if (pred) {
+                const uint8_t* pb = pred + by * w + bx;
+                for (int r = 0; r < block_size; r++)
+                    for (int c2 = 0; c2 < block_size; c2++)
+                        x[r * block_size + c2] =
+                            ((double)cb[(int64_t)r * w + c2]
+                             - (double)pb[(int64_t)r * w + c2]) - 128.0;
+            } else {
+                for (int r = 0; r < block_size; r++)
+                    for (int c2 = 0; c2 < block_size; c2++)
+                        x[r * block_size + c2] =
+                            (double)cb[(int64_t)r * w + c2] - 128.0;
+            }
+            // Reference accumulation order (algo.cpp:309-331; no FMA —
+            // built with -ffp-contract=off), then *scale, /quant,
+            // trunc-based round-half-away (Block.cpp:148-153).
+            for (int uv = 0; uv < k; uv++) acc[uv] = 0.0;
+            for (int c2 = 0; c2 < k; c2++) {
+                const double xv = x[c2];
+                const double* wr = wf + (size_t)c2 * k;
+                for (int uv = 0; uv < k; uv++) {
+                    const double t = xv * wr[uv];
+                    acc[uv] += t;
+                }
+            }
+            int32_t* row = czz.data() + (size_t)nb * k;
+            for (int j = 0; j < k; j++) {
+                const int uv = zz[j];
+                const double y = acc[uv] * scale[uv];
+                const double z = y / quant[uv];
+                const double t = __builtin_trunc(z);
+                const double d = z - t;
+                row[j] = (int32_t)((d >= 0.5 || d <= -0.5)
+                                   ? (z >= 0.0 ? t + 1.0 : t - 1.0) : t);
+            }
+            bits += block_stats_one(row, k, use_rle, &db[(size_t)nb],
+                                    &cntv[(size_t)nb], &npay[(size_t)nb]);
         }
-        #undef EMIT
-        if (na > 0) {
-            const uint8_t by = (uint8_t)((acc << (8 - na)) & 0xFF);
-            __atomic_fetch_or(&out[byte_pos], by, __ATOMIC_RELAXED);
+        cstart[(size_t)ci + 1] = bits;
+    }
+
+    const int64_t mv_bits =
+        (pred && mvec) ? n_macro * 2 * (int64_t)mvec_bits : 0;
+    cstart[0] = start_bit + mv_bits;
+    for (int ci = 0; ci < n_chunks; ci++)
+        cstart[(size_t)ci + 1] += cstart[(size_t)ci];
+    const int64_t total = cstart[(size_t)n_chunks];
+    if ((total + 7) / 8 > out_cap) return -1;
+
+    if (mv_bits) {  // all mvecs precede the residual blocks (Frame.cpp:229)
+        BitEmitter em(out, start_bit);
+        for (int64_t m2 = 0; m2 < n_macro; m2++) {
+            em.put(mvec_bits, (uint64_t)(int64_t)mvec[2 * m2]);
+            em.put(mvec_bits, (uint64_t)(int64_t)mvec[2 * m2 + 1]);
         }
+        em.flush();
+    }
+
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+    #endif
+    for (int ci = 0; ci < n_chunks; ci++) {
+        const int64_t lo = (int64_t)ci * per;
+        const int64_t hi = lo + per < n_blocks ? lo + per : n_blocks;
+        emit_block_range(czz.data(), lo, hi, k, use_rle, db.data(),
+                         cntv.data(), npay.data(), cstart[(size_t)ci], out);
+    }
+
+    if (recon && pred && wi) {
+        if (idct_recon_exact(czz.data(), n_blocks, block_size, zz, wi,
+                             quant, pred, h, w, recon) < 0) return -1;
     }
     return total;
 }
