@@ -421,19 +421,22 @@ def _decode_video_device(parsed, packed, quant, gop, n_micro, n_macro,
 def _decode_video_fast(parsed, packed, quant, gop, width, height, norm,
                        motioncomp, block_size, workers):
     """Host fast path: one fused native call per frame (extract + dequant +
-    IDCT + prediction add + clamp + deblockify, runtime.cpp::
-    decode_to_image_impl), prediction assembly native too.  Reuses the
-    pass-1 record layout — no second offset walk.  GOPs are independent
-    (each starts with an I-frame), so workers>1 decodes them in a thread
-    pool; ctypes releases the GIL for the native calls."""
+    IDCT + prediction add + clamp + deblockify), prediction assembly
+    native too.  Reuses the pass-1 record layout — no second offset walk.
+    Since the AVX-512 f64 block kernel landed, the exact engine is both
+    the FASTEST and bit-parity, so "fast" video decode now equals the
+    "numpy" parity output (the f32 engine remains as the non-AVX
+    fallback).  GOPs are independent (each starts with an I-frame), so
+    workers>1 decodes them in a thread pool; ctypes releases the GIL for
+    the native calls."""
     from ..ops.dct import _inv_weights
-    from ..runtime.native import (decode_residual_to_image_native,
-                                  decode_to_image_native,
+    from ..runtime.native import (decode_residual_to_image_exact_native,
+                                  decode_to_image_exact_native,
                                   predict_frame_native)
 
     zz = zigzag_order(block_size)
-    qf = quant.as_float(np.float32)
-    wi = _inv_weights(block_size, norm).astype(np.float32)
+    qf = quant.as_float(np.float64)
+    wi = _inv_weights(block_size, norm)
     n_frames = len(parsed)
 
     def decode_gop(g0):
@@ -442,13 +445,13 @@ def _decode_video_fast(parsed, packed, quant, gop, width, height, norm,
         for f in range(g0, min(g0 + gop, n_frames)):
             mv, _, (offs, dbits, counts) = parsed[f]
             if mv is None:
-                ref = decode_to_image_native(packed, offs, dbits, counts,
-                                             zz, block_size, qf, wi,
-                                             height, width)
+                ref = decode_to_image_exact_native(packed, offs, dbits,
+                                                   counts, zz, block_size,
+                                                   qf, wi, height, width)
             else:
                 pred = predict_frame_native(ref, mv)
                 if motioncomp:
-                    ref = decode_residual_to_image_native(
+                    ref = decode_residual_to_image_exact_native(
                         packed, offs, dbits, counts, zz, block_size, qf,
                         wi, pred, height, width)
                 else:

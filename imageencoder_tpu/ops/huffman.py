@@ -456,6 +456,28 @@ def huffman_encode_from_meta(words, meta) -> bytes:
     return np.asarray(out[:nw]).astype(">u4").tobytes()[:out_bytes]
 
 
+def parse_dict_bytes(data: bytes):
+    """Parse the serialized dict from the head of a Huffman stream.
+
+    Returns (entries, end_bit).  The dict occupies a few hundred bytes at
+    most (<= 256 symbols of <= 15-bit codes), so the Python fallback only
+    materializes a prefix; the native parser reads the bytes directly.
+    """
+    try:
+        from ..runtime.native import parse_huffman_dict_native
+
+        return parse_huffman_dict_native(data)
+    except Exception:
+        pass  # bit-level fallback below
+    prefix = data[:65536]
+    reader = BitReader(prefix)
+    entries = parse_dict(reader)
+    if reader.position >= len(prefix) * 8 and len(data) > len(prefix):
+        reader = BitReader(data)  # pathological dict straddling the prefix
+        entries = parse_dict(reader)
+    return entries, reader.position
+
+
 def huffman_decode(data: bytes) -> bytes:
     """Decompress a stream whose first bit is 1 (dict present).
 
@@ -463,22 +485,14 @@ def huffman_decode(data: bytes) -> bytes:
     (Huffman.cpp:376-383) — trailing padding may decode to extra symbols,
     which downstream parsing ignores.
     """
-    # The dict occupies a few hundred bytes at most (<= 256 symbols of
-    # <= 15-bit codes); parse it from a prefix so the whole-stream bit
-    # array is never materialized on the native path.
-    prefix = data[:65536]
-    reader = BitReader(prefix)
-    entries = parse_dict(reader)
-    if reader.position >= len(prefix) * 8 and len(data) > len(prefix):
-        reader = BitReader(data)  # pathological dict straddling the prefix
-        entries = parse_dict(reader)
+    entries, dict_end = parse_dict_bytes(data)
     if not entries:
         raise ValueError("huffman_decode called on a stream without a dict")
 
     try:
         from ..runtime.native import huffman_fsm_decode_native
 
-        return huffman_fsm_decode_native(data, reader.position, entries)
+        return huffman_fsm_decode_native(data, dict_end, entries)
     except Exception as e:
         from ..runtime.native import warn_fallback
         warn_fallback("huffman_fsm_decode", e)
@@ -488,7 +502,7 @@ def huffman_decode(data: bytes) -> bytes:
     from .bitpack import to_bits
 
     bits = to_bits(data)
-    pos = reader.position
+    pos = dict_end
 
     # Consume bits one at a time until byte alignment, then switch to the FSM.
     prefix_syms = []

@@ -26,6 +26,17 @@ def _load():
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
+    import os
+
+    override = os.environ.get("IER_NATIVE_LIB")
+    if override:  # e.g. the TSAN/ASAN-instrumented build (test gate)
+        so = pathlib.Path(override)
+        if not so.exists():
+            return None
+        lib = ctypes.CDLL(str(so))
+        _register(lib)
+        _LIB = lib
+        return lib
     so = pathlib.Path(__file__).parent / "native" / "libier_runtime.so"
     try:
         from .build import build
@@ -36,6 +47,13 @@ def _load():
     if not so.exists():
         return None
     lib = ctypes.CDLL(str(so))
+    _register(lib)
+    _LIB = lib
+    return lib
+
+
+def _register(lib) -> None:
+    """Attach restype/argtypes for every entry point."""
     lib.tune_host_allocator.restype = ctypes.c_longlong
     lib.walk_offsets.restype = ctypes.c_longlong
     lib.walk_offsets.argtypes = [
@@ -49,6 +67,24 @@ def _load():
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong]
+    lib.huffman_fsm_decode_head.restype = ctypes.c_longlong
+    lib.huffman_fsm_decode_head.argtypes = lib.huffman_fsm_decode.argtypes
+    lib.parse_huffman_dict.restype = ctypes.c_longlong
+    lib.parse_huffman_dict.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32]
+    lib.decode_image_pipelined.restype = ctypes.c_longlong
+    lib.decode_image_pipelined.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_longlong,
+        ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_longlong,
+        ctypes.c_longlong, ctypes.POINTER(ctypes.c_uint8)]
     lib.pack_fields.restype = ctypes.c_longlong
     lib.pack_fields.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
@@ -126,6 +162,10 @@ def _load():
     lib.decode_residual_to_image.argtypes = (
         lib.decode_to_image.argtypes[:-1]
         + [ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)])
+    lib.decode_residual_to_image_exact.restype = ctypes.c_longlong
+    lib.decode_residual_to_image_exact.argtypes = (
+        lib.decode_to_image_exact.argtypes[:-1]
+        + [ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)])
     lib.predict_frame.restype = ctypes.c_longlong
     lib.predict_frame.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong, ctypes.c_longlong,
@@ -137,8 +177,6 @@ def _load():
         ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
         ctypes.POINTER(ctypes.c_int16)]
-    _LIB = lib
-    return lib
 
 
 _TUNED = False
@@ -212,6 +250,110 @@ def huffman_fsm_decode_native(data: bytes, start_bit: int, entries) -> bytes:
     if n < 0:
         raise ValueError("native huffman decode failed")
     return out[:n].tobytes()
+
+
+def parse_huffman_dict_native(data: bytes, start_bit: int = 0):
+    """Parse the serialized Huffman dict (ops/huffman.py::parse_dict wire
+    grammar) natively.  Returns (entries list of (sym, word, len), end bit
+    position)."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("native runtime not built")
+    buf = np.frombuffer(data, dtype=np.uint8)
+    cap = 4096
+    syms = np.empty(cap, np.int32)
+    words = np.empty(cap, np.int32)
+    lens = np.empty(cap, np.int32)
+    n = ctypes.c_int32(0)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    end = lib.parse_huffman_dict(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        int(start_bit), syms.ctypes.data_as(i32p),
+        words.ctypes.data_as(i32p), lens.ctypes.data_as(i32p),
+        ctypes.byref(n), cap)
+    if end < 0:
+        raise ValueError("native parse_huffman_dict failed")
+    m = int(n.value)
+    return (list(zip(syms[:m].tolist(), words[:m].tolist(),
+                     lens[:m].tolist())), int(end))
+
+
+def huffman_fsm_decode_head_native(data: bytes, start_bit: int, entries,
+                                   max_out: int = 4096) -> bytes:
+    """Serial bounded Huffman decode: the first <= max_out payload symbols
+    (enough for any stream header) without touching the rest."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("native runtime not built")
+    syms = np.array([e[0] for e in entries], dtype=np.int32)
+    words = np.array([e[1] for e in entries], dtype=np.int32)
+    lens = np.array([e[2] for e in entries], dtype=np.int32)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(max_out + 8, dtype=np.uint8)
+    n = lib.huffman_fsm_decode_head(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        int(start_bit),
+        syms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(entries),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), int(max_out))
+    if n < 0:
+        raise ValueError("native huffman_fsm_decode_head failed")
+    return out[:n].tobytes()
+
+
+def decode_image_pipelined_native(data: bytes, start_bit: int, entries,
+                                  hdr_bits: int, n_blocks: int,
+                                  use_rle: bool, block_size: int,
+                                  zz: np.ndarray, quant: np.ndarray,
+                                  wi: np.ndarray, exact: bool, h: int,
+                                  w: int) -> np.ndarray:
+    """Overlapped Huffman-FSM / offset-walk / extract+IDCT image decode
+    (runtime.cpp::decode_image_pipelined).  `entries` is the parsed
+    Huffman dict, or None/[] for a non-Huffman stream (then `data` is the
+    payload and hdr_bits counts from bit 0 incl. the flag bit).  `quant`
+    and `wi` are f64 when exact else f32.  Output is bit-identical to the
+    staged chain (huffman_fsm_decode -> walk_offsets ->
+    decode_to_image[_exact])."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("native runtime not built")
+    buf = np.frombuffer(data, dtype=np.uint8)
+    entries = entries or []
+    syms = np.array([e[0] for e in entries], dtype=np.int32)
+    words = np.array([e[1] for e in entries], dtype=np.int32)
+    lens = np.array([e[2] for e in entries], dtype=np.int32)
+    zz32 = np.ascontiguousarray(zz, dtype=np.int32)
+    k = block_size * block_size
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    out = np.empty(h * w, dtype=np.uint8)
+    if exact:
+        q64 = np.ascontiguousarray(
+            np.asarray(quant, dtype=np.float64)).reshape(k)
+        wi64 = np.ascontiguousarray(wi, dtype=np.float64)
+        q32p = ctypes.POINTER(ctypes.c_float)()
+        wi32p = ctypes.POINTER(ctypes.c_float)()
+        q64p = q64.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        wi64p = wi64.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    else:
+        q32 = np.ascontiguousarray(
+            np.asarray(quant, dtype=np.float32)).reshape(k)
+        wi32 = np.ascontiguousarray(wi, dtype=np.float32)
+        q32p = q32.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        wi32p = wi32.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        q64p = ctypes.POINTER(ctypes.c_double)()
+        wi64p = ctypes.POINTER(ctypes.c_double)()
+    rc = lib.decode_image_pipelined(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        int(start_bit), syms.ctypes.data_as(i32p),
+        words.ctypes.data_as(i32p), lens.ctypes.data_as(i32p), len(entries),
+        int(hdr_bits), int(n_blocks), int(bool(use_rle)), int(block_size),
+        zz32.ctypes.data_as(i32p), q64p, wi64p, q32p, wi32p,
+        int(bool(exact)), h, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc < 0:
+        raise ValueError("native decode_image_pipelined failed")
+    return out.reshape(h, w)
 
 
 def pack_fields_native(values: np.ndarray, nbits: np.ndarray,
@@ -539,6 +681,39 @@ def decode_to_image_native(data: bytes, offsets, dbits, counts, zz,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     if rc < 0:
         raise ValueError("native decode_to_image failed")
+    return out.reshape(h, w)
+
+
+def decode_residual_to_image_exact_native(
+        data: bytes, offsets, dbits, counts, zz, block_size: int,
+        quant: np.ndarray, wi: np.ndarray, pred: np.ndarray, h: int,
+        w: int) -> np.ndarray:
+    """f64 BIT-PARITY P-frame fused decode: residual extract + exact-order
+    IDCT + prediction add + clamp + deblockify.  quant/wi are f64."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("native runtime not built")
+    buf = np.frombuffer(data, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    dbits = np.ascontiguousarray(dbits, dtype=np.int32)
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    zz32 = np.ascontiguousarray(zz, dtype=np.int32)
+    quant = np.ascontiguousarray(np.asarray(quant).ravel(), dtype=np.float64)
+    wi = np.ascontiguousarray(wi, dtype=np.float64)
+    pred = np.ascontiguousarray(pred, dtype=np.uint8)
+    out = np.empty(h * w, dtype=np.uint8)
+    rc = lib.decode_residual_to_image_exact(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dbits.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(offsets),
+        zz32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), block_size,
+        quant.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        wi.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), h, w,
+        pred.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc < 0:
+        raise ValueError("native decode_residual_to_image_exact failed")
     return out.reshape(h, w)
 
 

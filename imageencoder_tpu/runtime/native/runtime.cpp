@@ -19,7 +19,16 @@
 // dependency chain).
 
 #include <atomic>
+#include <chrono>
+#include <condition_variable>
 #include <cstdint>
+#include <functional>
+#include <mutex>
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <malloc.h>
 #include <memory>
@@ -156,6 +165,60 @@ static void emit_block_range(const int32_t* coeffs, int64_t lo, int64_t hi,
     em.flush();
 }
 
+// Persistent worker pool for the pipelined decoder: spawning std::threads
+// per call costs ~0.2 ms and, worse, unpredictable scheduling latency on a
+// small VM; parked threads wake in tens of µs.  Lazily created on first
+// use, detached at exit (the process is going away anyway).
+struct PipelinePool {
+    std::mutex mu;
+    std::condition_variable cv;
+    std::function<void(int)> job;   // called with worker index
+    uint64_t epoch = 0;
+    std::atomic<int> running{0};
+    int n_workers = 0;
+
+    static PipelinePool& instance() {
+        // Intentionally leaked: a static instance would run its destructor
+        // at exit while detached workers still wait on the cv (hang/UB).
+        static PipelinePool* p = new PipelinePool();
+        return *p;
+    }
+
+    void ensure(int n) {
+        if (n_workers >= n) return;
+        for (int t = n_workers; t < n; t++) {
+            std::thread([this, t]() {
+                uint64_t seen = 0;
+                for (;;) {
+                    std::unique_lock<std::mutex> lk(mu);
+                    cv.wait(lk, [&] { return epoch != seen; });
+                    seen = epoch;
+                    auto j = job;
+                    lk.unlock();
+                    j(t);
+                    running.fetch_sub(1, std::memory_order_release);
+                }
+            }).detach();
+        }
+        n_workers = n;
+    }
+
+    // Run `fn(tid)` on `n` parked workers; returns immediately.  The
+    // caller polls running==0 (interleaving its own work) for completion.
+    void launch(int n, std::function<void(int)> fn) {
+        ensure(n);
+        std::lock_guard<std::mutex> lk(mu);
+        job = std::move(fn);
+        running.store(n_workers, std::memory_order_relaxed);
+        epoch++;
+        cv.notify_all();
+    }
+
+    bool idle() const {
+        return running.load(std::memory_order_acquire) == 0;
+    }
+};
+
 // ---- Huffman byte-FSM tables (shared by the whole-stream decoder and the
 // pipelined image decoder).  States are tree node ids; T[state][byte] packs
 // (next_state << 4) | n_emitted, with the <= 8 emitted symbols per entry in
@@ -285,18 +348,107 @@ static inline uint32_t read_field(const uint8_t* data, int64_t nbytes,
     return r.get(b);
 }
 
+#if defined(__AVX512F__)
+// AVX-512 4x4 exact inverse: independent field reads (fields sit at
+// off + j*b, so the per-field position chain is broken for ILP), the 16
+// f64 accumulators live in two zmm registers, and each coefficient is one
+// broadcast + mul + add pair per half — separate vmulpd/vaddpd, NOT
+// vfmadd, preserving the -ffp-contract=off per-product rounding.  The
+// c-ascending accumulation order and per-lane independent sums make the
+// result BIT-IDENTICAL to the scalar loop (verified: tests pin this path
+// against the numpy chain).
+static inline void idct16_accum_avx512(const int32_t* cf,
+                                       const double* quant,
+                                       const double* wi, __m512d* a0,
+                                       __m512d* a1) {
+    __m512d acc0 = _mm512_setzero_pd(), acc1 = _mm512_setzero_pd();
+    for (int c = 0; c < 16; c++) {
+        if (cf[c] == 0) continue;
+        const double y = (double)cf[c] * quant[c];
+        const __m512d yv = _mm512_set1_pd(y);
+        const double* wr = wi + (size_t)c * 16;
+        acc0 = _mm512_add_pd(acc0, _mm512_mul_pd(yv, _mm512_loadu_pd(wr)));
+        acc1 = _mm512_add_pd(acc1,
+                             _mm512_mul_pd(yv, _mm512_loadu_pd(wr + 8)));
+    }
+    *a0 = acc0;
+    *a1 = acc1;
+}
+
+static inline void extract16_fields(const uint8_t* data, int64_t off, int b,
+                                    int cnt, const int32_t* zz,
+                                    int32_t* cf) {
+    const uint32_t sign_bit = 1u << (b - 1);
+    const uint32_t ext = ~0u << b;
+    for (int j = 0; j < cnt; j++) {
+        const int64_t pos = off + (int64_t)j * b;
+        uint64_t wd;
+        std::memcpy(&wd, data + (pos >> 3), 8);
+        wd = __builtin_bswap64(wd) << (pos & 7);
+        uint32_t v = (uint32_t)(wd >> (64 - b));
+        if (v & sign_bit) v |= ext;
+        cf[zz[j]] = (int32_t)v;
+    }
+}
+
+static inline void store16_px(__m512d acc0, __m512d acc1,
+                              const uint8_t* pred_base, int64_t w,
+                              uint8_t* base) {
+    const __m512d lo = _mm512_setzero_pd();
+    const __m512d hi = _mm512_set1_pd(255.0);
+    if (pred_base) {
+        // P-frame recon: clamp(pred + (IDCT + 128)) in f64, matching the
+        // scalar order (acc + 128.0, then + pred, then clamp).
+        alignas(64) double pr[16];
+        for (int r = 0; r < 4; r++)
+            for (int c = 0; c < 4; c++)
+                pr[r * 4 + c] = (double)pred_base[(int64_t)r * w + c];
+        acc0 = _mm512_add_pd(_mm512_add_pd(acc0, _mm512_set1_pd(128.0)),
+                             _mm512_load_pd(pr));
+        acc1 = _mm512_add_pd(_mm512_add_pd(acc1, _mm512_set1_pd(128.0)),
+                             _mm512_load_pd(pr + 8));
+    } else {
+        acc0 = _mm512_add_pd(acc0, _mm512_set1_pd(128.0));
+        acc1 = _mm512_add_pd(acc1, _mm512_set1_pd(128.0));
+    }
+    acc0 = _mm512_min_pd(_mm512_max_pd(acc0, lo), hi);
+    acc1 = _mm512_min_pd(_mm512_max_pd(acc1, lo), hi);
+    alignas(32) int32_t px[16];
+    _mm256_store_si256((__m256i*)px, _mm512_cvttpd_epi32(acc0));
+    _mm256_store_si256((__m256i*)(px + 8), _mm512_cvttpd_epi32(acc1));
+    uint8_t tmp[16];
+    for (int t = 0; t < 16; t++) tmp[t] = (uint8_t)px[t];
+    for (int r = 0; r < 4; r++)
+        std::memcpy(base + (int64_t)r * w, tmp + r * 4, 4);
+}
+#endif  // __AVX512F__
+
 static inline void decode_block_exact_one(
         const uint8_t* data, int64_t nbytes, int64_t off, int b, int cnt_in,
         const int32_t* zz, int block_size, int k, const double* quant,
-        const double* wi, int64_t wb, int64_t w, int64_t n, uint8_t* out) {
+        const double* wi, int64_t wb, int64_t w, int64_t n,
+        const uint8_t* pred, uint8_t* out) {
+    const int cnt = cnt_in < k ? cnt_in : k;
+    const bool fast =
+        b > 0 && ((off + (int64_t)b * cnt) >> 3) + 9 <= nbytes;
+    const int64_t px0 = (n / wb) * (int64_t)block_size * w
+                        + (n % wb) * block_size;
+#if defined(__AVX512F__)
+    if (k == 16 && fast) {
+        int32_t cf[16] = {0};
+        extract16_fields(data, off, b, cnt, zz, cf);
+        __m512d a0, a1;
+        idct16_accum_avx512(cf, quant, wi, &a0, &a1);
+        store16_px(a0, a1, pred ? pred + px0 : nullptr, w, out + px0);
+        return;
+    }
+#endif
     int32_t cf[256];
     for (int t = 0; t < k; t++) cf[t] = 0;
-    const int cnt = cnt_in < k ? cnt_in : k;
     if (b > 0) {
         const uint32_t sign_bit = 1u << (b - 1);
         const uint32_t ext = ~0u << b;
         int64_t pos = off;
-        const bool fast = ((pos + (int64_t)b * cnt) >> 3) + 9 <= nbytes;
         for (int j = 0; j < cnt; j++) {
             uint32_t v = read_field(data, nbytes, nbytes * 8, pos, b, fast);
             pos += b;
@@ -315,14 +467,17 @@ static inline void decode_block_exact_one(
             acc[t] += p;
         }
     }
-    const int64_t px0 = (n / wb) * (int64_t)block_size * w
-                        + (n % wb) * block_size;
     uint8_t* base = out + px0;
+    const uint8_t* pbase = pred ? pred + px0 : nullptr;
     for (int r = 0; r < block_size; r++) {
         uint8_t* orow = base + (int64_t)r * w;
+        const uint8_t* prow = pbase ? pbase + (int64_t)r * w : nullptr;
         const double* yr = acc + r * block_size;
         for (int c2 = 0; c2 < block_size; c2++) {
-            double pv = yr[c2] + 128.0;
+            // P-frame recon: clamp(pred + (IDCT + 128)) in exact f64
+            // order (Frame.cpp:107-117 / Block.cpp:111-119).
+            const double e = yr[c2] + 128.0;
+            double pv = prow ? (double)prow[c2] + e : e;
             pv = pv < 0.0 ? 0.0 : (pv > 255.0 ? 255.0 : pv);
             orow[c2] = (uint8_t)pv;  // trunc == floor for pv >= 0
         }
@@ -442,94 +597,24 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
                            int64_t start_bit, const int32_t* syms,
                            const int32_t* words, const int32_t* lens,
                            int n_entries, uint8_t* out, int64_t out_cap) {
-    // Build the code tree as flat arrays (node 0 = root).
-    std::vector<int32_t> child;  // 2 per node
-    std::vector<int32_t> symbol;
-    child.assign(2, -1);
-    symbol.assign(1, -1);
-    for (int e = 0; e < n_entries; e++) {
-        int32_t node = 0;
-        for (int k = lens[e] - 1; k >= 0; k--) {
-            const int bit = (words[e] >> k) & 1;
-            if (child[node * 2 + bit] < 0) {
-                child[node * 2 + bit] = (int32_t)symbol.size();
-                child.push_back(-1);
-                child.push_back(-1);
-                symbol.push_back(-1);
-            }
-            node = child[node * 2 + bit];
-        }
-        symbol[node] = syms[e];
-    }
-
-    const int64_t nbits = nbytes * 8;
-    int64_t pos = start_bit;
-    int64_t n_out = 0;
-    int32_t node = 0;
-
-    // Bit-by-bit until byte alignment (matches the reference's walk,
-    // Huffman.cpp:376-383: invalid path resets to root).
-    while ((pos & 7) != 0 && pos < nbits) {
-        const int bit = (data[pos >> 3] >> (7 - (pos & 7))) & 1;
-        pos++;
-        const int32_t nxt = child[node * 2 + bit];
-        if (nxt < 0) { node = 0; continue; }
-        node = nxt;
-        if (symbol[node] >= 0) {
-            if (n_out >= out_cap) return -1;
-            out[n_out++] = (uint8_t)symbol[node];
-            node = 0;
-        }
-    }
-
     // Byte-level FSM: T[state][byte] -> (next state, emitted symbols).
     // States are tree node ids (<= 511 for a 256-symbol alphabet), so the
     // table is a few MB and L2-resident.  Next state and symbol count are
     // packed into ONE entry ((nd << 4) | cnt, cnt <= 8) so the state walk
-    // is a single dependent load per byte.
-    const int n_nodes = (int)symbol.size();
-    // Nibble table first (n_nodes x 16, 4 tree steps per entry), then the
-    // byte table by COMPOSITION (2 nibble lookups per entry) — ~8x cheaper
-    // than walking 8 tree levels for each of the n_nodes*256 entries.
-    std::vector<int32_t> step4((size_t)n_nodes * 16);
-    std::vector<uint8_t> sym4((size_t)n_nodes * 16 * 4);
-    for (int st = 0; st < n_nodes; st++) {
-        for (int nib = 0; nib < 16; nib++) {
-            int32_t nd = st;
-            int c = 0;
-            uint8_t* outs = &sym4[((size_t)st * 16 + nib) * 4];
-            for (int k = 3; k >= 0; k--) {
-                const int bit = (nib >> k) & 1;
-                const int32_t nx = child[nd * 2 + bit];
-                if (nx < 0) { nd = 0; continue; }
-                nd = nx;
-                if (symbol[nd] >= 0) {
-                    outs[c++] = (uint8_t)symbol[nd];
-                    nd = 0;
-                }
-            }
-            step4[(size_t)st * 16 + nib] = (nd << 4) | c;
-        }
-    }
-    std::vector<int32_t> step_tab((size_t)n_nodes * 256);
-    std::vector<uint8_t> sym_tab((size_t)n_nodes * 256 * 8);
-    #ifdef _OPENMP
-    #pragma omp parallel for schedule(static)
-    #endif
-    for (int st = 0; st < n_nodes; st++) {
-        for (int by = 0; by < 256; by++) {
-            const int32_t e1 = step4[(size_t)st * 16 + (by >> 4)];
-            const int c1 = e1 & 15;
-            const int32_t s1 = e1 >> 4;
-            const int32_t e2 = step4[(size_t)s1 * 16 + (by & 15)];
-            const int c2 = e2 & 15;
-            uint8_t* outs = &sym_tab[((size_t)st * 256 + by) * 8];
-            std::memcpy(outs, &sym4[((size_t)st * 16 + (by >> 4)) * 4], 4);
-            std::memcpy(outs + c1, &sym4[((size_t)s1 * 16 + (by & 15)) * 4],
-                        4);  // may scribble past c1+c2 within the 8B entry
-            step_tab[(size_t)st * 256 + by] = ((e2 >> 4) << 4) | (c1 + c2);
-        }
-    }
+    // is a single dependent load per byte (see FsmTables).
+    FsmTables ft;
+    build_fsm_tables(syms, words, lens, n_entries, ft);
+    const std::vector<int32_t>& step_tab = ft.step_tab;
+    const std::vector<uint8_t>& sym_tab = ft.sym_tab;
+
+    const int64_t nbits = nbytes * 8;
+    int64_t n_out = 0;
+    int32_t node = 0;
+    // Bit-by-bit until byte alignment (matches the reference's walk,
+    // Huffman.cpp:376-383: invalid path resets to root).
+    int64_t pos = fsm_walk_to_alignment(data, nbits, start_bit, ft, &node,
+                                        out, out_cap, &n_out);
+    if (n_out > out_cap) return -1;
 
     // Two-pass parallel decode over whole bytes.  Pass 1 finds every
     // chunk's entry state and output offset — the wire format's one true
@@ -668,6 +753,517 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
     return total;
 }
 
+// Serial bounded Huffman decode: emit at most max_out symbols (enough for
+// a stream header) and stop.  Used by the pipelined image decoder to parse
+// the in-payload header before launching the full overlapped decode.
+// Tree-only bit walk — building the byte-FSM tables for a few KB of output
+// costs more than the walk itself.
+int64_t huffman_fsm_decode_head(const uint8_t* data, int64_t nbytes,
+                                int64_t start_bit, const int32_t* syms,
+                                const int32_t* words, const int32_t* lens,
+                                int n_entries, uint8_t* out,
+                                int64_t max_out) {
+    FsmTables ft;  // tree only
+    ft.child.assign(2, -1);
+    ft.symbol.assign(1, -1);
+    for (int e = 0; e < n_entries; e++) {
+        int32_t node = 0;
+        for (int k = lens[e] - 1; k >= 0; k--) {
+            const int bit = (words[e] >> k) & 1;
+            if (ft.child[node * 2 + bit] < 0) {
+                ft.child[node * 2 + bit] = (int32_t)ft.symbol.size();
+                ft.child.push_back(-1);
+                ft.child.push_back(-1);
+                ft.symbol.push_back(-1);
+            }
+            node = ft.child[node * 2 + bit];
+        }
+        ft.symbol[node] = syms[e];
+    }
+    const int64_t nbits = nbytes * 8;
+    int32_t node = 0;
+    int64_t n_out = 0;
+    int64_t pos = start_bit;
+    while (pos < nbits && n_out < max_out) {
+        const int bit = (data[pos >> 3] >> (7 - (pos & 7))) & 1;
+        pos++;
+        const int32_t nxt = ft.child[node * 2 + bit];
+        if (nxt < 0) { node = 0; continue; }
+        node = nxt;
+        if (ft.symbol[node] >= 0) {
+            out[n_out++] = (uint8_t)ft.symbol[node];
+            node = 0;
+        }
+    }
+    return n_out;
+}
+
+// Parse the Huffman dict groups at start_bit: {1-bit has-items | 7-bit
+// seq-len | 4-bit value-bit-len} headers followed by seq-len {8-bit key,
+// bit-len-bit code} pairs, terminated by a 0 bit (Huffman.cpp:36-46 /
+// :120-143 wire format; the leading stream flag bit is group 1's
+// has-items bit).  Returns the bit position after the dict, with the
+// entry count in *n_out; -1 if max_entries would overflow.
+int64_t parse_huffman_dict(const uint8_t* data, int64_t nbytes,
+                           int64_t start_bit, int32_t* syms, int32_t* words,
+                           int32_t* lens, int32_t* n_out,
+                           int32_t max_entries) {
+    BitReader r{data, nbytes * 8, start_bit};
+    int32_t n = 0;
+    while (r.get(1)) {
+        const int32_t seq_len = (int32_t)r.get(7);
+        const int32_t bit_len = (int32_t)r.get(4);
+        for (int32_t i = 0; i < seq_len; i++) {
+            if (n >= max_entries) return -1;
+            syms[n] = (int32_t)r.get(8);
+            words[n] = (int32_t)r.get(bit_len);
+            lens[n] = bit_len;
+            n++;
+        }
+    }
+    *n_out = n;
+    return r.pos;
+}
+
+// ---- Pipelined host image decode -----------------------------------------
+//
+// Runs the three decode stages OVERLAPPED instead of as barriers
+// (VERDICT r3 #1): the Huffman byte-FSM finalizes payload chunks
+// progressively (chunks whose predecessor is already stitched emit
+// DIRECTLY into the payload buffer — only the first thread-wave runs
+// speculatively into scratch), the serial offset walk chases the finalized
+// watermark on the coordinating thread, and worker threads extract+IDCT
+// blocks as soon as the walk publishes them.  The wire format's serial
+// chain (record N's offset depends on all earlier records,
+// ImageDecoder.cpp:88-113) thus costs only its own ~1.5 ms of latency
+// hidden under the parallel stages, and no 8x speculative buffer or
+// Python-side byte copies materialize between stages.
+//
+// exact != 0 -> f64 bit-parity block decode (quant64/wi64);
+// exact == 0 -> f32 fast block decode (quant32/wi32).
+// n_entries == 0 -> the stream is not Huffman-coded: `data` IS the payload
+// (hdr_bits counts from bit 0 of data, including the leading flag bit).
+int64_t decode_image_pipelined(
+        const uint8_t* data, int64_t nbytes, int64_t start_bit,
+        const int32_t* syms, const int32_t* words, const int32_t* lens,
+        int n_entries, int64_t hdr_bits, int64_t n_blocks, int use_rle,
+        int block_size, const int32_t* zz, const double* quant64,
+        const double* wi64, const float* quant32, const float* wi32,
+        int exact, int64_t h, int64_t w, uint8_t* out_img) {
+    const int k = block_size * block_size;
+    if (k > 256) return -1;
+    const int64_t wb = w / block_size;
+    if (wb <= 0 || n_blocks != wb * (h / block_size)) return -1;
+
+    // ---- payload plumbing ----
+    const uint8_t* pay = data;
+    uint8_t* pay_mut = nullptr;
+    int64_t pay_cap = nbytes;
+    std::unique_ptr<uint8_t[]> pay_own;
+    std::atomic<int64_t> final_bytes{0};
+    std::atomic<int64_t> payload_total{-1};
+
+    FsmTables ft;
+    int32_t node = 0;
+    int64_t pre_out = 0;   // symbols emitted before byte alignment
+    int64_t first_byte = 0, per = 0;
+    int n_chunks = 0;
+
+    if (n_entries == 0) {
+        final_bytes.store(nbytes, std::memory_order_relaxed);
+        payload_total.store(nbytes, std::memory_order_relaxed);
+    } else {
+        build_fsm_tables(syms, words, lens, n_entries, ft);
+        pay_cap = nbytes * 8 + 64;  // worst case 8 symbols per input byte
+        pay_own.reset(new uint8_t[(size_t)pay_cap]);
+        pay_mut = pay_own.get();
+        pay = pay_mut;
+        int64_t pos = fsm_walk_to_alignment(data, nbytes * 8, start_bit,
+                                            ft, &node, pay_mut, pay_cap,
+                                            &pre_out);
+        first_byte = pos >> 3;
+        const int64_t n_in = nbytes - first_byte;
+        // ~4 chunks per thread so the stitch front chases completion and
+        // most chunks start non-speculative; >= 64 KB per chunk keeps the
+        // sync overhead negligible.
+        int T = (int)std::thread::hardware_concurrency();
+        if (T < 1) T = 1;
+        per = (n_in + 4 * T - 1) / (4 * T);
+        if (per < 65536) per = 65536;
+        n_chunks = n_in > 0 ? (int)((n_in + per - 1) / per) : 0;
+        if (n_chunks == 0) {
+            final_bytes.store(pre_out, std::memory_order_relaxed);
+            payload_total.store(pre_out, std::memory_order_relaxed);
+        }
+    }
+
+    // ---- shared pipeline state ----
+    constexpr int SYNC_K = 96;
+    constexpr int64_t GRAIN = 512;  // blocks per extract batch
+    std::unique_ptr<std::atomic<uint8_t>[]> done(
+        n_chunks ? new std::atomic<uint8_t>[n_chunks] : nullptr);
+    for (int i = 0; i < n_chunks; i++)
+        done[i].store(0, std::memory_order_relaxed);
+    std::vector<int32_t> exit_state(n_chunks), entry_state(n_chunks);
+    std::vector<int64_t> exit_count(n_chunks), entry_out(n_chunks);
+    std::vector<uint8_t> is_direct(n_chunks);
+    std::vector<int32_t> spec_entry(n_chunks, 0);
+    std::vector<int32_t> traj((size_t)n_chunks * SYNC_K);
+    std::vector<int64_t> pref((size_t)n_chunks * SYNC_K);
+    std::vector<std::unique_ptr<uint8_t[]>> spec((size_t)n_chunks);
+    std::atomic<int> next_chunk{0};
+    std::atomic<int> stitched{0};
+    std::atomic<int64_t> blocks_ready{0};
+    std::atomic<int64_t> block_cursor{0};
+    std::vector<int64_t> offs((size_t)n_blocks);
+    std::vector<int32_t> dbv((size_t)n_blocks), cntv((size_t)n_blocks);
+    if (n_chunks) {
+        entry_state[0] = node;
+        entry_out[0] = pre_out;
+    }
+
+    const auto chunk_lo = [&](int ci) { return first_byte + (int64_t)ci * per; };
+    const auto chunk_hi = [&](int ci) {
+        const int64_t hi = chunk_lo(ci) + per;
+        return hi < nbytes ? hi : nbytes;
+    };
+
+    // FSM job: direct chunks (predecessor already stitched at claim time)
+    // emit straight into the payload at their known offset; the first
+    // thread-wave runs speculatively from the root into per-chunk scratch
+    // with a SYNC_K (state, count) trajectory for the stitcher.
+    const auto fsm_chunk = [&](int ci) {
+        const int64_t lo = chunk_lo(ci), hi = chunk_hi(ci);
+        const bool direct = stitched.load(std::memory_order_acquire) >= ci;
+        int32_t s;
+        uint8_t* op;
+        if (direct) {
+            s = entry_state[ci];
+            op = pay_mut + entry_out[ci];
+        } else {
+            s = 0;
+            spec_entry[ci] = 0;
+            spec[ci].reset(new uint8_t[(size_t)(hi - lo) * 8 + 8]);
+            op = spec[ci].get();
+        }
+        int64_t cnt = 0;
+        int32_t* tj = &traj[(size_t)ci * SYNC_K];
+        int64_t* pf = &pref[(size_t)ci * SYNC_K];
+        for (int64_t i = lo; i < hi; i++) {
+            const size_t idx = (size_t)s * 256 + data[i];
+            const int32_t e = ft.step_tab[idx];
+            std::memcpy(op + cnt, &ft.sym_tab[idx * 8], 8);  // c <= 8 live
+            cnt += e & 15;
+            s = e >> 4;
+            if (!direct && i - lo < SYNC_K) { tj[i - lo] = s; pf[i - lo] = cnt; }
+        }
+        exit_state[ci] = s;
+        exit_count[ci] = cnt;
+        is_direct[ci] = direct;
+        done[ci].store(1, std::memory_order_release);
+    };
+
+    // Interleaved pair: two independent state chains in one loop hide the
+    // table walk's dependent-load latency (~1.7x).  Chunk `cb` always runs
+    // into scratch — two contiguous direct chunks would overwrite each
+    // other via the 8-byte blind emits — but from its TRUE entry state
+    // when known, so the stitch still adopts it wholesale.
+    const auto fsm_chunk_pair = [&](int ca, int cb) {
+        const int64_t loa = chunk_lo(ca), hia = chunk_hi(ca);
+        const int64_t lob = chunk_lo(cb), hib = chunk_hi(cb);
+        const int stf = stitched.load(std::memory_order_acquire);
+        const bool da = stf >= ca;
+        int32_t sa, sb;
+        uint8_t *opa, *opb;
+        if (da) {
+            sa = entry_state[ca];
+            opa = pay_mut + entry_out[ca];
+        } else {
+            sa = 0;
+            spec_entry[ca] = 0;
+            spec[ca].reset(new uint8_t[(size_t)(hia - loa) * 8 + 8]);
+            opa = spec[ca].get();
+        }
+        sb = stf >= cb ? entry_state[cb] : 0;
+        spec_entry[cb] = sb;
+        spec[cb].reset(new uint8_t[(size_t)(hib - lob) * 8 + 8]);
+        opb = spec[cb].get();
+        int64_t ca_cnt = 0, cb_cnt = 0;
+        int32_t* tja = &traj[(size_t)ca * SYNC_K];
+        int64_t* pfa = &pref[(size_t)ca * SYNC_K];
+        int32_t* tjb = &traj[(size_t)cb * SYNC_K];
+        int64_t* pfb = &pref[(size_t)cb * SYNC_K];
+        const int64_t na = hia - loa, nb = hib - lob;
+        const int64_t nmin = na < nb ? na : nb;
+        for (int64_t i = 0; i < nmin; i++) {
+            const size_t ia = (size_t)sa * 256 + data[loa + i];
+            const size_t ib = (size_t)sb * 256 + data[lob + i];
+            const int32_t ea = ft.step_tab[ia];
+            const int32_t eb = ft.step_tab[ib];
+            std::memcpy(opa + ca_cnt, &ft.sym_tab[ia * 8], 8);
+            std::memcpy(opb + cb_cnt, &ft.sym_tab[ib * 8], 8);
+            ca_cnt += ea & 15;
+            sa = ea >> 4;
+            cb_cnt += eb & 15;
+            sb = eb >> 4;
+            if (i < SYNC_K) {
+                if (!da) { tja[i] = sa; pfa[i] = ca_cnt; }
+                tjb[i] = sb;
+                pfb[i] = cb_cnt;
+            }
+        }
+        for (int64_t i = nmin; i < na; i++) {
+            const size_t ia = (size_t)sa * 256 + data[loa + i];
+            const int32_t ea = ft.step_tab[ia];
+            std::memcpy(opa + ca_cnt, &ft.sym_tab[ia * 8], 8);
+            ca_cnt += ea & 15;
+            sa = ea >> 4;
+            if (!da && i < SYNC_K) { tja[i] = sa; pfa[i] = ca_cnt; }
+        }
+        exit_state[ca] = sa;
+        exit_count[ca] = ca_cnt;
+        is_direct[ca] = da;
+        done[ca].store(1, std::memory_order_release);
+        for (int64_t i = nmin; i < nb; i++) {
+            const size_t ib = (size_t)sb * 256 + data[lob + i];
+            const int32_t eb = ft.step_tab[ib];
+            std::memcpy(opb + cb_cnt, &ft.sym_tab[ib * 8], 8);
+            cb_cnt += eb & 15;
+            sb = eb >> 4;
+            if (i < SYNC_K) { tjb[i] = sb; pfb[i] = cb_cnt; }
+        }
+        exit_state[cb] = sb;
+        exit_count[cb] = cb_cnt;
+        is_direct[cb] = 0;
+        done[cb].store(1, std::memory_order_release);
+    };
+
+    // Walker state (coordinator thread only): the serial offset-recovery
+    // chain, restricted to bits below the finalized watermark.
+    int64_t walk_pos = hdr_bits;
+    int64_t walked = 0;
+    const auto walker_advance = [&]() -> bool {
+        const int64_t fb = final_bytes.load(std::memory_order_acquire);
+        const bool complete = payload_total.load(std::memory_order_acquire) >= 0;
+        bool progressed = false;
+        if (complete) {
+            // End-safe tail: reads past the payload end return 0 bits.
+            BitReader r{pay, fb * 8, walk_pos};
+            while (walked < n_blocks) {
+                const uint32_t b = r.get(4);
+                const int64_t count = use_rle ? (int64_t)r.get((int)b) : k;
+                offs[walked] = r.pos;
+                dbv[walked] = (int32_t)b;
+                cntv[walked] = (int32_t)count;
+                r.pos += (int64_t)b * count;
+                walked++;
+                progressed = true;
+            }
+            walk_pos = r.pos;
+            blocks_ready.store(n_blocks, std::memory_order_release);
+            return progressed;
+        }
+        // A record header is <= 4 + 15 = 19 bits and parsed via one 8-byte
+        // load; require the loaded bits through the header end to be final.
+        const int64_t lim = fb * 8 - 72;  // 9-byte guard below the watermark
+        while (walked < n_blocks && walk_pos >= 0 && walk_pos < lim) {
+            uint64_t wd;
+            std::memcpy(&wd, pay + (walk_pos >> 3), 8);
+            wd = __builtin_bswap64(wd) << (walk_pos & 7);
+            const uint32_t b = (uint32_t)(wd >> 60);
+            int64_t count;
+            if (use_rle) {
+                count = b ? (int64_t)((wd << 4) >> (64 - b)) : 0;
+                walk_pos += 4 + b;
+            } else {
+                count = k;
+                walk_pos += 4;
+            }
+            offs[walked] = walk_pos;
+            dbv[walked] = (int32_t)b;
+            cntv[walked] = (int32_t)count;
+            walk_pos += (int64_t)b * count;
+            walked++;
+            progressed = true;
+        }
+        if (walked > 0) {
+            // Record N's payload is proven final only once record N+1's
+            // header passed the watermark check; release all but the last.
+            blocks_ready.store(walked - 1, std::memory_order_release);
+        }
+        return progressed;
+    };
+
+    const auto extract_batch = [&](int64_t b0, int64_t b1) {
+        const int64_t nb_now = final_bytes.load(std::memory_order_acquire);
+        if (exact) {
+            for (int64_t n = b0; n < b1; n++)
+                decode_block_exact_one(pay, nb_now, offs[(size_t)n],
+                                       dbv[(size_t)n], cntv[(size_t)n], zz,
+                                       block_size, k, quant64, wi64, wb, w,
+                                       n, nullptr, out_img);
+        } else {
+            for (int64_t n = b0; n < b1; n++)
+                decode_block_f32_one(pay, nb_now, offs[(size_t)n],
+                                     dbv[(size_t)n], cntv[(size_t)n], zz,
+                                     block_size, k, quant32, wi32, wb, w,
+                                     n, nullptr, out_img);
+        }
+    };
+
+    const auto extract_loop = [&]() {
+        for (;;) {
+            const int64_t br = blocks_ready.load(std::memory_order_acquire);
+            int64_t b0 = block_cursor.load(std::memory_order_relaxed);
+            if (b0 >= n_blocks) break;
+            if (b0 >= br) {
+                std::this_thread::yield();
+                continue;
+            }
+            int64_t take = br - b0;
+            if (take > GRAIN) take = GRAIN;
+            if (!block_cursor.compare_exchange_weak(
+                    b0, b0 + take, std::memory_order_acq_rel))
+                continue;
+            extract_batch(b0, b0 + take);
+        }
+    };
+
+    // ---- launch ----
+    // One pipelined decode at a time: the pool's workers capture this
+    // call's stack state.  Concurrent callers serialize here (each still
+    // runs fully parallel inside).
+    static std::mutex pipe_mu;
+    std::lock_guard<std::mutex> pipe_guard(pipe_mu);
+    int T = (int)std::thread::hardware_concurrency();
+    if (T < 2) T = 2;
+    PipelinePool& pool = PipelinePool::instance();
+    pool.launch(T - 1, [&](int) {
+        for (;;) {
+            const int c = next_chunk.fetch_add(2,
+                                               std::memory_order_relaxed);
+            if (c >= n_chunks) break;
+            if (c + 1 < n_chunks) fsm_chunk_pair(c, c + 1);
+            else fsm_chunk(c);
+        }
+        extract_loop();
+    });
+
+    // Coordinator: stitch chunks in order (emitting re-walked pre-sync
+    // bytes in place), advance the watermark, and run the serial walker in
+    // the gaps.  It does NOT take whole FSM chunks: a chunk on this thread
+    // would stall the stitch front, forcing later chunks speculative and
+    // starving the walker/extractors (measured 1.5x slower).
+    const bool dbg = std::getenv("IER_PIPE_DEBUG") != nullptr;
+    const auto tstart = std::chrono::steady_clock::now();
+    const auto ms_now = [&]() {
+        return std::chrono::duration<double, std::milli>(
+                   std::chrono::steady_clock::now() - tstart).count();
+    };
+    double t_first_stitch = -1, t_fsm_done = -1, t_walk_done = -1;
+    // One extract batch, if any blocks are published: bounded (~tens of µs)
+    // so the stitch front stays responsive while this thread waits.
+    const auto try_extract_one = [&]() -> bool {
+        const int64_t br = blocks_ready.load(std::memory_order_acquire);
+        int64_t b0 = block_cursor.load(std::memory_order_relaxed);
+        if (b0 >= n_blocks || b0 >= br) return false;
+        int64_t take = br - b0;
+        if (take > GRAIN) take = GRAIN;
+        if (!block_cursor.compare_exchange_strong(
+                b0, b0 + take, std::memory_order_acq_rel))
+            return false;
+        extract_batch(b0, b0 + take);
+        return true;
+    };
+
+    int ci = 0;
+    int64_t total_out = pre_out;
+    int32_t st = node;
+    while (ci < n_chunks) {
+        if (!done[ci].load(std::memory_order_acquire)) {
+            if (!walker_advance() && !try_extract_one())
+                std::this_thread::yield();
+            continue;
+        }
+        const int64_t lo = chunk_lo(ci), hi = chunk_hi(ci);
+        if (is_direct[ci] || st == spec_entry[ci]) {
+            if (!is_direct[ci]) {
+                // Speculation ran from the true entry state (known at claim
+                // time, or the root happened to be right): adopt the
+                // scratch output wholesale.
+                std::memcpy(pay_mut + total_out, spec[ci].get(),
+                            (size_t)exit_count[ci]);
+            }
+            total_out += exit_count[ci];
+            st = exit_state[ci];
+        } else {
+            // Re-walk the pre-sync bytes EMITTING in place, then adopt the
+            // exact speculative tail (Huffman FSMs self-synchronize within
+            // a few bytes; fall back to a full re-walk if never).
+            const int32_t* tj = &traj[(size_t)ci * SYNC_K];
+            const int64_t* pf = &pref[(size_t)ci * SYNC_K];
+            int64_t i = lo;
+            bool synced = false;
+            for (; i < hi && i - lo < SYNC_K; i++) {
+                const size_t idx = (size_t)st * 256 + data[i];
+                const int32_t e = ft.step_tab[idx];
+                std::memcpy(pay_mut + total_out, &ft.sym_tab[idx * 8], 8);
+                total_out += e & 15;
+                st = e >> 4;
+                if (st == tj[i - lo]) {
+                    const int64_t from = pf[i - lo];
+                    std::memcpy(pay_mut + total_out, spec[ci].get() + from,
+                                (size_t)(exit_count[ci] - from));
+                    total_out += exit_count[ci] - from;
+                    st = exit_state[ci];
+                    synced = true;
+                    break;
+                }
+            }
+            if (!synced) {
+                for (; i < hi; i++) {
+                    const size_t idx = (size_t)st * 256 + data[i];
+                    const int32_t e = ft.step_tab[idx];
+                    std::memcpy(pay_mut + total_out, &ft.sym_tab[idx * 8],
+                                8);
+                    total_out += e & 15;
+                    st = e >> 4;
+                }
+            }
+        }
+        spec[ci].reset();
+        ci++;
+        if (ci < n_chunks) {
+            entry_state[ci] = st;
+            entry_out[ci] = total_out;
+        }
+        // The blind 8-byte emit may scribble up to 7 bytes past the true
+        // count; the watermark only certifies bytes strictly below it.
+        final_bytes.store(total_out, std::memory_order_release);
+        stitched.store(ci, std::memory_order_release);
+        if (dbg && t_first_stitch < 0) t_first_stitch = ms_now();
+        walker_advance();
+    }
+    if (n_entries != 0 && n_chunks > 0) {
+        payload_total.store(total_out, std::memory_order_release);
+        final_bytes.store(total_out, std::memory_order_release);
+    }
+    if (dbg) t_fsm_done = ms_now();
+    while (blocks_ready.load(std::memory_order_acquire) < n_blocks)
+        walker_advance();
+    if (dbg) t_walk_done = ms_now();
+    extract_loop();
+    while (!pool.idle())  // workers reference this frame's stack state
+        std::this_thread::yield();
+    if (dbg)
+        std::fprintf(stderr,
+                     "[pipe] first_stitch %.2f fsm_done %.2f walk_done %.2f "
+                     "all %.2f ms (%d chunks)\n",
+                     t_first_stitch, t_fsm_done, t_walk_done, ms_now(),
+                     n_chunks);
+    return 0;
+}
+
 // Bit-exact replica of the reference's naive 2-D DCT accumulation
 // (algo.cpp:309-331 order) over flattened [n_blocks, k] f64 tiles:
 //   acc[uv] = (sum over cells in order) x[cell] * w[cell][uv], then * scale.
@@ -801,7 +1397,29 @@ int64_t decode_to_image_exact(const uint8_t* data, int64_t nbytes,
     #pragma omp parallel for schedule(static) if (n_blocks > 1024)
     for (int64_t n = 0; n < n_blocks; n++)
         decode_block_exact_one(data, nbytes, offsets[n], bits[n], counts[n],
-                               zz, block_size, k, quant, wi, wb, w, n, out);
+                               zz, block_size, k, quant, wi, wb, w, n,
+                               nullptr, out);
+    return 0;
+}
+
+// P-frame BIT-PARITY variant: residual extract + exact f64 IDCT +
+// prediction add + clamp (the f64 twin of decode_residual_to_image;
+// decode mirror of Frame.cpp:107-117 in the reference's own precision).
+int64_t decode_residual_to_image_exact(
+        const uint8_t* data, int64_t nbytes, const int64_t* offsets,
+        const int32_t* bits, const int32_t* counts, int64_t n_blocks,
+        const int32_t* zz, int block_size, const double* quant,
+        const double* wi, int64_t h, int64_t w, const uint8_t* pred,
+        uint8_t* out) {
+    const int k = block_size * block_size;
+    if (k > 256) return -1;
+    const int64_t wb = w / block_size;
+    if (wb <= 0 || n_blocks != wb * (h / block_size)) return -1;
+    #pragma omp parallel for schedule(static) if (n_blocks > 1024)
+    for (int64_t n = 0; n < n_blocks; n++)
+        decode_block_exact_one(data, nbytes, offsets[n], bits[n], counts[n],
+                               zz, block_size, k, quant, wi, wb, w, n,
+                               pred, out);
     return 0;
 }
 
@@ -1011,6 +1629,17 @@ int64_t idct_recon_exact(const int32_t* czz, int64_t n_blocks,
     #pragma omp parallel for schedule(static) if (n_blocks > 1024)
     for (int64_t n = 0; n < n_blocks; n++) {
         const int32_t* src = czz + n * k;
+#if defined(__AVX512F__)
+        if (k == 16) {
+            int32_t cf16[16];
+            for (int j = 0; j < 16; j++) cf16[zz[j]] = src[j];
+            __m512d a0, a1;
+            idct16_accum_avx512(cf16, quant, wi, &a0, &a1);
+            const int64_t px0 = (n / wb) * 4 * w + (n % wb) * 4;
+            store16_px(a0, a1, pred + px0, w, out + px0);
+            continue;
+        }
+#endif
         int32_t cf[256];
         for (int t = 0; t < k; t++) cf[t] = 0;
         for (int j = 0; j < k; j++) cf[zz[j]] = src[j];

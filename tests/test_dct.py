@@ -160,8 +160,14 @@ def test_decode_image_fast_backend():
     enc = encode_image(img, quant, use_rle=True, use_huffman=True)
     d_parity = decode_image(enc, backend="numpy")
     d_fast = decode_image(enc, backend="fast")
-    diff = np.abs(d_parity.astype(int) - d_fast.astype(int))
-    assert diff.max() <= 1 and (diff > 0).mean() < 0.01
+    from imageencoder_tpu.runtime.native import available
+    if available():
+        # "fast" aliases the exact engine since the AVX-512 f64 kernel
+        # made it the fastest path too (VERDICT r3 #7): exact equality.
+        np.testing.assert_array_equal(d_parity, d_fast)
+    else:
+        diff = np.abs(d_parity.astype(int) - d_fast.astype(int))
+        assert diff.max() <= 1 and (diff > 0).mean() < 0.01
 
     # fast-backend encode round-trips too
     enc_f = encode_image(img, quant, use_rle=True, use_huffman=True,

@@ -230,10 +230,9 @@ def test_fast_video_decode_matches_numpy(quant):
         ya, pa, da = decode_video(enc, motioncomp=mc, backend="numpy")
         yb, pb, db = decode_video(enc, motioncomp=mc, backend="fast")
         assert pa == pb and da == db
-        a = np.frombuffer(ya, dtype=np.uint8).astype(int)
-        b = np.frombuffer(yb, dtype=np.uint8).astype(int)
-        diff = np.abs(a - b)
-        assert diff.max() <= 1 and np.mean(diff > 0) < 0.005, (seed, gop, mc)
+        # The fast path runs the exact f64 engine since round 4 (the
+        # AVX-512 kernel made it fastest too): bit-identical output.
+        assert ya == yb, (seed, gop, mc)
         yt, _, _ = decode_video(enc, motioncomp=mc, backend="fast",
                                 workers=4)
         assert yt == yb, (seed, gop, mc)
