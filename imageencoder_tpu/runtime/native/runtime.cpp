@@ -41,6 +41,25 @@
 
 namespace {
 
+// gcc's libgomp barriers are invisible to ThreadSanitizer, so data
+// legitimately handed across OpenMP regions (per-chunk stats read after
+// the implicit barrier, outputs read by the caller) would be reported as
+// races.  Under -fsanitize=thread we thread one release sequence through
+// a global atomic: workers RELEASE at the end of each iteration/chunk
+// body, consumers ACQUIRE before reading.  Races between temporally
+// OVERLAPPING iterations — the interleavings the scheduler actually
+// produces — remain fully visible; only logically-unordered but
+// temporally-separated accesses gain a (correct-in-this-execution) edge.
+// Production builds compile these away.
+#if defined(__SANITIZE_THREAD__)
+std::atomic<uint64_t> g_omp_hb{0};
+#define TSAN_HB_RELEASE() g_omp_hb.fetch_add(1, std::memory_order_acq_rel)
+#define TSAN_HB_ACQUIRE() ((void)g_omp_hb.load(std::memory_order_acquire))
+#else
+#define TSAN_HB_RELEASE() ((void)0)
+#define TSAN_HB_ACQUIRE() ((void)0)
+#endif
+
 // MSB-first bit reader over a byte buffer; reads past the end return 0
 // (reference BitStream.cpp:14-28).
 struct BitReader {
@@ -275,10 +294,12 @@ static void build_fsm_tables(const int32_t* syms, const int32_t* words,
     }
     ft.step_tab.resize((size_t)n_nodes * 256);
     ft.sym_tab.resize((size_t)n_nodes * 256 * 8);
+    TSAN_HB_RELEASE();
     #ifdef _OPENMP
     #pragma omp parallel for schedule(static)
     #endif
     for (int st = 0; st < n_nodes; st++) {
+        TSAN_HB_ACQUIRE();
         for (int by = 0; by < 256; by++) {
             const int32_t e1 = step4[(size_t)st * 16 + (by >> 4)];
             const int c1 = e1 & 15;
@@ -291,7 +312,9 @@ static void build_fsm_tables(const int32_t* syms, const int32_t* words,
                         4);  // may scribble past c1+c2 within the 8B entry
             ft.step_tab[(size_t)st * 256 + by] = ((e2 >> 4) << 4) | (c1 + c2);
         }
+        TSAN_HB_RELEASE();
     }
+    TSAN_HB_ACQUIRE();
 }
 
 // Bit-by-bit tree walk until byte alignment (reference Huffman.cpp:376-383:
@@ -657,10 +680,12 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
         return spec_out.get() + (chunk_lo(ci) - first_byte) * 8
                + (size_t)ci * 8;
     };
+    TSAN_HB_RELEASE();
     #ifdef _OPENMP
     #pragma omp parallel for schedule(static)
     #endif
     for (int ci = 0; ci < n_chunks; ci++) {
+        TSAN_HB_ACQUIRE();
         int32_t s = ci == 0 ? node : 0;  // chunk 0's entry state IS known;
         int64_t cnt = 0;                 // others speculate from the root
         int32_t* traj = &spec_traj[(size_t)ci * SYNC_K];
@@ -677,7 +702,9 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
         }
         spec_state[ci] = s;
         spec_count[ci] = cnt;
+        TSAN_HB_RELEASE();
     }
+    TSAN_HB_ACQUIRE();
 
     // Serial stitch: true entry state/offset per chunk via sync prefixes.
     // sync_at[ci] = number of leading bytes whose speculative emissions are
@@ -727,10 +754,12 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
 
     // Pass 2: re-walk only the pre-sync bytes, then memcpy the exact
     // speculative tail into place.
+    TSAN_HB_RELEASE();
     #ifdef _OPENMP
     #pragma omp parallel for schedule(static)
     #endif
     for (int ci = 0; ci < n_chunks; ci++) {
+        TSAN_HB_ACQUIRE();
         int32_t s2 = entry_state[ci];
         uint8_t* op = out + entry_out[ci];
         const int64_t lo = chunk_lo(ci), hi = chunk_hi(ci);
@@ -749,7 +778,9 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
                 : spec_pref[(size_t)ci * SYNC_K + ns - 1];
             std::memcpy(op, spec_buf(ci) + from, spec_count[ci] - from);
         }
+        TSAN_HB_RELEASE();
     }
+    TSAN_HB_ACQUIRE();
     return total;
 }
 
@@ -1272,8 +1303,10 @@ int64_t decode_image_pipelined(
 // scale may be null (inverse transform bakes C into w).
 int64_t dct_exact(const double* blocks, int64_t n_blocks, int k,
                   const double* w, const double* scale, double* out) {
+    TSAN_HB_RELEASE();
     #pragma omp parallel for schedule(static) if (n_blocks > 1024)
     for (int64_t n = 0; n < n_blocks; n++) {
+        TSAN_HB_ACQUIRE();
         const double* x = blocks + n * k;
         double* acc = out + n * k;
         for (int uv = 0; uv < k; uv++) acc[uv] = 0.0;
@@ -1288,7 +1321,9 @@ int64_t dct_exact(const double* blocks, int64_t n_blocks, int k,
         if (scale) {
             for (int uv = 0; uv < k; uv++) acc[uv] *= scale[uv];
         }
+        TSAN_HB_RELEASE();
     }
+    TSAN_HB_ACQUIRE();
     return 0;
 }
 
@@ -1304,8 +1339,10 @@ int64_t extract_coeffs(const uint8_t* data, int64_t nbytes,
     const int k = block_size * block_size;
     const int64_t nbits_total = nbytes * 8;
     // Offsets are precomputed, so blocks extract independently.
+    TSAN_HB_RELEASE();
     #pragma omp parallel for schedule(static) if (n_blocks > 4096)
     for (int64_t n = 0; n < n_blocks; n++) {
+        TSAN_HB_ACQUIRE();
         const int b = bits[n];
         const int cnt = counts[n] < k ? counts[n] : k;
         int64_t pos = offsets[n];
@@ -1344,7 +1381,9 @@ int64_t extract_coeffs(const uint8_t* data, int64_t nbytes,
             if (v & sign_bit) v |= ext;  // sign-extend
             row[zz[j]] = (int16_t)(int32_t)v;
         }
+        TSAN_HB_RELEASE();
     }
+    TSAN_HB_ACQUIRE();
     return 0;
 }
 
@@ -1369,11 +1408,16 @@ static int64_t decode_to_image_impl(
     if (k > 256) return -1;
     const int64_t wb = w / block_size;
     if (wb <= 0 || n_blocks != wb * (h / block_size)) return -1;
+    TSAN_HB_RELEASE();
     #pragma omp parallel for schedule(static) if (n_blocks > 1024)
-    for (int64_t n = 0; n < n_blocks; n++)
+    for (int64_t n = 0; n < n_blocks; n++) {
+        TSAN_HB_ACQUIRE();
         decode_block_f32_one(data, nbytes, offsets[n], bits[n], counts[n],
                              zz, block_size, k, quant, wi, wb, w, n, pred,
                              out);
+        TSAN_HB_RELEASE();
+    }
+    TSAN_HB_ACQUIRE();
     return 0;
 }
 
@@ -1394,11 +1438,16 @@ int64_t decode_to_image_exact(const uint8_t* data, int64_t nbytes,
     if (k > 256) return -1;
     const int64_t wb = w / block_size;
     if (wb <= 0 || n_blocks != wb * (h / block_size)) return -1;
+    TSAN_HB_RELEASE();
     #pragma omp parallel for schedule(static) if (n_blocks > 1024)
-    for (int64_t n = 0; n < n_blocks; n++)
+    for (int64_t n = 0; n < n_blocks; n++) {
+        TSAN_HB_ACQUIRE();
         decode_block_exact_one(data, nbytes, offsets[n], bits[n], counts[n],
                                zz, block_size, k, quant, wi, wb, w, n,
                                nullptr, out);
+        TSAN_HB_RELEASE();
+    }
+    TSAN_HB_ACQUIRE();
     return 0;
 }
 
@@ -1415,11 +1464,16 @@ int64_t decode_residual_to_image_exact(
     if (k > 256) return -1;
     const int64_t wb = w / block_size;
     if (wb <= 0 || n_blocks != wb * (h / block_size)) return -1;
+    TSAN_HB_RELEASE();
     #pragma omp parallel for schedule(static) if (n_blocks > 1024)
-    for (int64_t n = 0; n < n_blocks; n++)
+    for (int64_t n = 0; n < n_blocks; n++) {
+        TSAN_HB_ACQUIRE();
         decode_block_exact_one(data, nbytes, offsets[n], bits[n], counts[n],
                                zz, block_size, k, quant, wi, wb, w, n,
                                pred, out);
+        TSAN_HB_RELEASE();
+    }
+    TSAN_HB_ACQUIRE();
     return 0;
 }
 
@@ -1456,8 +1510,10 @@ int64_t predict_frame(const uint8_t* ref, int64_t h, int64_t w,
     const int MB = 16;
     if (h % MB || w % MB) return -1;
     const int64_t mbx = w / MB, n_mb = mbx * (h / MB);
+    TSAN_HB_RELEASE();
     #pragma omp parallel for schedule(static) if (n_mb > 256)
     for (int64_t m = 0; m < n_mb; m++) {
+        TSAN_HB_ACQUIRE();
         const int64_t bx = (m % mbx) * MB, by = (m / mbx) * MB;
         int64_t px = bx + mv[2 * m], py = by + mv[2 * m + 1];
         px = px < 0 ? 0 : (px > w - MB ? w - MB : px);
@@ -1465,7 +1521,9 @@ int64_t predict_frame(const uint8_t* ref, int64_t h, int64_t w,
         for (int r = 0; r < MB; r++)
             std::memcpy(out + (by + r) * w + bx,
                         ref + (py + r) * w + px, MB);
+        TSAN_HB_RELEASE();
     }
+    TSAN_HB_ACQUIRE();
     return 0;
 }
 
@@ -1489,10 +1547,12 @@ int64_t find_motion(const uint8_t* cur, const uint8_t* ref, int64_t h,
     static const int SX[9] = {0, 1, 1, 0, -1, -1, -1, 0, 1};
     static const int SY[9] = {0, 0, 1, 1, 1, 0, -1, -1, -1};
     const int64_t nby = h / 16, nbx = w / 16;
+    TSAN_HB_RELEASE();
     #ifdef _OPENMP
     #pragma omp parallel for schedule(static)
     #endif
     for (int64_t mb = 0; mb < nby * nbx; mb++) {
+        TSAN_HB_ACQUIRE();
         const int64_t by = (mb / nbx) * 16, bx = (mb % nbx) * 16;
         const uint8_t* cb = cur + by * w + bx;
         int offx = 0, offy = 0;
@@ -1533,7 +1593,9 @@ int64_t find_motion(const uint8_t* cur, const uint8_t* ref, int64_t h,
         }
         out_mvec[mb * 2] = offx;
         out_mvec[mb * 2 + 1] = offy;
+        TSAN_HB_RELEASE();
     }
+    TSAN_HB_ACQUIRE();
     return 0;
 }
 
@@ -1549,8 +1611,10 @@ int64_t dct_quantize_exact(const uint8_t* blocks, int64_t n_blocks, int k,
                            const double* quant, const int32_t* zz,
                            int32_t* out) {
     if (k > 256) return -1;
+    TSAN_HB_RELEASE();
     #pragma omp parallel for schedule(static) if (n_blocks > 1024)
     for (int64_t n = 0; n < n_blocks; n++) {
+        TSAN_HB_ACQUIRE();
         const uint8_t* x = blocks + n * k;
         int32_t* row = out + n * k;
         double acc[256];
@@ -1573,7 +1637,9 @@ int64_t dct_quantize_exact(const uint8_t* blocks, int64_t n_blocks, int k,
                 ? (z >= 0.0 ? t + 1.0 : t - 1.0) : t;
             row[j] = (int32_t)r;
         }
+        TSAN_HB_RELEASE();
     }
+    TSAN_HB_ACQUIRE();
     return 0;
 }
 
@@ -1584,8 +1650,10 @@ int64_t dct_quantize_exact_f64(const double* blocks, int64_t n_blocks,
                                const double* quant, const int32_t* zz,
                                int32_t* out) {
     if (k > 256) return -1;
+    TSAN_HB_RELEASE();
     #pragma omp parallel for schedule(static) if (n_blocks > 1024)
     for (int64_t n = 0; n < n_blocks; n++) {
+        TSAN_HB_ACQUIRE();
         const double* x = blocks + n * k;
         int32_t* row = out + n * k;
         double acc[256];
@@ -1608,7 +1676,9 @@ int64_t dct_quantize_exact_f64(const double* blocks, int64_t n_blocks,
                 ? (z >= 0.0 ? t + 1.0 : t - 1.0) : t;
             row[j] = (int32_t)r;
         }
+        TSAN_HB_RELEASE();
     }
+    TSAN_HB_ACQUIRE();
     return 0;
 }
 
@@ -1626,8 +1696,10 @@ int64_t idct_recon_exact(const int32_t* czz, int64_t n_blocks,
     if (k > 256) return -1;
     const int64_t wb = w / block_size;
     if (wb <= 0 || n_blocks != wb * (h / block_size)) return -1;
+    TSAN_HB_RELEASE();
     #pragma omp parallel for schedule(static) if (n_blocks > 1024)
     for (int64_t n = 0; n < n_blocks; n++) {
+        TSAN_HB_ACQUIRE();
         const int32_t* src = czz + n * k;
 #if defined(__AVX512F__)
         if (k == 16) {
@@ -1669,7 +1741,9 @@ int64_t idct_recon_exact(const int32_t* czz, int64_t n_blocks,
                 orow[c2] = (uint8_t)pv;
             }
         }
+        TSAN_HB_RELEASE();
     }
+    TSAN_HB_ACQUIRE();
     return 0;
 }
 
@@ -1694,10 +1768,12 @@ int64_t encode_pack_blocks(const int32_t* coeffs, int64_t n_blocks, int k,
     const int64_t per = (n_blocks + n_chunks - 1) / n_chunks;
     std::vector<int64_t> cstart((size_t)n_chunks + 1);
 
+    TSAN_HB_RELEASE();
     #ifdef _OPENMP
     #pragma omp parallel for schedule(static)
     #endif
     for (int ci = 0; ci < n_chunks; ci++) {
+        TSAN_HB_ACQUIRE();
         const int64_t lo = (int64_t)ci * per;
         const int64_t hi = lo + per < n_blocks ? lo + per : n_blocks;
         int64_t bits = 0;
@@ -1706,22 +1782,28 @@ int64_t encode_pack_blocks(const int32_t* coeffs, int64_t n_blocks, int k,
                                     &db[(size_t)nb], &cntv[(size_t)nb],
                                     &npay[(size_t)nb]);
         cstart[(size_t)ci + 1] = bits;
+        TSAN_HB_RELEASE();
     }
+    TSAN_HB_ACQUIRE();
     cstart[0] = start_bit;
     for (int ci = 0; ci < n_chunks; ci++)
         cstart[(size_t)ci + 1] += cstart[(size_t)ci];
     const int64_t total = cstart[(size_t)n_chunks];
     if ((total + 7) / 8 > out_cap) return -1;
 
+    TSAN_HB_RELEASE();
     #ifdef _OPENMP
     #pragma omp parallel for schedule(static)
     #endif
     for (int ci = 0; ci < n_chunks; ci++) {
+        TSAN_HB_ACQUIRE();
         const int64_t lo = (int64_t)ci * per;
         const int64_t hi = lo + per < n_blocks ? lo + per : n_blocks;
         emit_block_range(coeffs, lo, hi, k, use_rle, db.data(), cntv.data(),
                          npay.data(), cstart[(size_t)ci], out);
+        TSAN_HB_RELEASE();
     }
+    TSAN_HB_ACQUIRE();
     return total;
 }
 
@@ -1758,10 +1840,12 @@ int64_t encode_frame_pack(const uint8_t* cur, const uint8_t* pred,
     const int64_t per = (n_blocks + n_chunks - 1) / n_chunks;
     std::vector<int64_t> cstart((size_t)n_chunks + 1);
 
+    TSAN_HB_RELEASE();
     #ifdef _OPENMP
     #pragma omp parallel for schedule(static)
     #endif
     for (int ci = 0; ci < n_chunks; ci++) {
+        TSAN_HB_ACQUIRE();
         const int64_t lo = (int64_t)ci * per;
         const int64_t hi = lo + per < n_blocks ? lo + per : n_blocks;
         int64_t bits = 0;
@@ -1811,7 +1895,9 @@ int64_t encode_frame_pack(const uint8_t* cur, const uint8_t* pred,
                                     &cntv[(size_t)nb], &npay[(size_t)nb]);
         }
         cstart[(size_t)ci + 1] = bits;
+        TSAN_HB_RELEASE();
     }
+    TSAN_HB_ACQUIRE();
 
     const int64_t mv_bits =
         (pred && mvec) ? n_macro * 2 * (int64_t)mvec_bits : 0;
@@ -1830,15 +1916,19 @@ int64_t encode_frame_pack(const uint8_t* cur, const uint8_t* pred,
         em.flush();
     }
 
+    TSAN_HB_RELEASE();
     #ifdef _OPENMP
     #pragma omp parallel for schedule(static)
     #endif
     for (int ci = 0; ci < n_chunks; ci++) {
+        TSAN_HB_ACQUIRE();
         const int64_t lo = (int64_t)ci * per;
         const int64_t hi = lo + per < n_blocks ? lo + per : n_blocks;
         emit_block_range(czz.data(), lo, hi, k, use_rle, db.data(),
                          cntv.data(), npay.data(), cstart[(size_t)ci], out);
+        TSAN_HB_RELEASE();
     }
+    TSAN_HB_ACQUIRE();
 
     if (recon && pred && wi) {
         if (idct_recon_exact(czz.data(), n_blocks, block_size, zz, wi,
@@ -1865,26 +1955,32 @@ int64_t huffman_pack_bytes(const uint8_t* data, int64_t n,
     #endif
     const int64_t per = (n + n_chunks - 1) / n_chunks;
     std::vector<int64_t> cstart((size_t)n_chunks + 1);
+    TSAN_HB_RELEASE();
     #ifdef _OPENMP
     #pragma omp parallel for schedule(static)
     #endif
     for (int ci = 0; ci < n_chunks; ci++) {
+        TSAN_HB_ACQUIRE();
         const int64_t lo = (int64_t)ci * per;
         const int64_t hi = lo + per < n ? lo + per : n;
         int64_t bits = 0;
         for (int64_t i = lo; i < hi; i++) bits += code_lens[data[i]];
         cstart[(size_t)ci + 1] = bits;
+        TSAN_HB_RELEASE();
     }
+    TSAN_HB_ACQUIRE();
     cstart[0] = start_bit;
     for (int ci = 0; ci < n_chunks; ci++)
         cstart[(size_t)ci + 1] += cstart[(size_t)ci];
     const int64_t total = cstart[(size_t)n_chunks];
     if ((total + 7) / 8 > out_cap) return -1;
 
+    TSAN_HB_RELEASE();
     #ifdef _OPENMP
     #pragma omp parallel for schedule(static)
     #endif
     for (int ci = 0; ci < n_chunks; ci++) {
+        TSAN_HB_ACQUIRE();
         const int64_t lo = (int64_t)ci * per;
         const int64_t hi = lo + per < n ? lo + per : n;
         const int64_t p = cstart[(size_t)ci];
@@ -1913,7 +2009,9 @@ int64_t huffman_pack_bytes(const uint8_t* data, int64_t n,
             const uint8_t by = (uint8_t)((acc << (8 - na)) & 0xFF);
             __atomic_fetch_or(&out[byte_pos], by, __ATOMIC_RELAXED);
         }
+        TSAN_HB_RELEASE();
     }
+    TSAN_HB_ACQUIRE();
     return total;
 }
 
@@ -1931,21 +2029,27 @@ int64_t pack_fields(const int64_t* values, const int32_t* nbits, int64_t m,
         const int n_chunks = omp_get_max_threads();
         const int64_t per = (m + n_chunks - 1) / n_chunks;
         std::vector<int64_t> cstart((size_t)n_chunks + 1);
+        TSAN_HB_RELEASE();
         #pragma omp parallel for schedule(static)
         for (int ci = 0; ci < n_chunks; ci++) {
+            TSAN_HB_ACQUIRE();
             const int64_t lo = (int64_t)ci * per;
             const int64_t hi = lo + per < m ? lo + per : m;
             int64_t bits = 0;
             for (int64_t i = lo; i < hi; i++) bits += nbits[i];
             cstart[(size_t)ci + 1] = bits;
+            TSAN_HB_RELEASE();
         }
+        TSAN_HB_ACQUIRE();
         cstart[0] = 0;
         for (int ci = 0; ci < n_chunks; ci++)
             cstart[(size_t)ci + 1] += cstart[(size_t)ci];
         if ((cstart[(size_t)n_chunks] + 7) / 8 > out_cap) return -1;
 
+        TSAN_HB_RELEASE();
         #pragma omp parallel for schedule(static)
         for (int ci = 0; ci < n_chunks; ci++) {
+            TSAN_HB_ACQUIRE();
             const int64_t lo = (int64_t)ci * per;
             const int64_t hi = lo + per < m ? lo + per : m;
             const int64_t p = cstart[(size_t)ci];
@@ -1983,7 +2087,9 @@ int64_t pack_fields(const int64_t* values, const int32_t* nbits, int64_t m,
                 const uint8_t by = (uint8_t)((acc << (8 - na)) & 0xFF);
                 __atomic_fetch_or(&out[byte_pos], by, __ATOMIC_RELAXED);
             }
+            TSAN_HB_RELEASE();
         }
+        TSAN_HB_ACQUIRE();
         return 0;
     }
 #endif
