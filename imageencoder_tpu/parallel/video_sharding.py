@@ -565,6 +565,134 @@ def make_sharded_video_packed(mesh, gop: int, merange: int, mvec_nbits: int,
     return jax.jit(fn)
 
 
+def _splice_video_segments(mvw, blw, blk_bits, header: bytes,
+                           start_bit: int, gop: int, mv_seg_bits: int):
+    """Byte-OR splice of aligned per-(frame, stripe) segment words in wire
+    order ([mvec segments][block segments] per frame).  Returns
+    (inner bytes, seg_bits list, total_bits)."""
+    from .sharding import check_int32_bit_capacity
+
+    mvw = np.asarray(mvw)
+    blw = np.asarray(blw)
+    blk_bits = np.asarray(blk_bits, dtype=np.int64)
+    f, s = blk_bits.shape
+    seg_bits = []
+    base = start_bit
+    total = start_bit + sum(
+        (0 if fi % gop == 0 else s * mv_seg_bits) + int(blk_bits[fi].sum())
+        for fi in range(f))
+    check_int32_bit_capacity(total)
+    out = np.zeros((total + 7) // 8 + 8, dtype=np.uint8)
+    out[:len(header)] = np.frombuffer(header, dtype=np.uint8)
+
+    def put(words_row, base, nb):
+        if nb:
+            seg = words_row.astype(">u4").view(np.uint8)
+            b0 = (base >> 5) * 4
+            n = ((base & 31) + nb + 7) // 8
+            out[b0:b0 + n] |= seg[:n]
+
+    for fi in range(f):
+        is_p = fi % gop != 0
+        for si in range(s):
+            nb = mv_seg_bits if is_p else 0
+            put(mvw[fi, si], base, nb)
+            seg_bits.append(nb)
+            base += nb
+        for si in range(s):
+            nb = int(blk_bits[fi, si])
+            put(blw[fi, si], base, nb)
+            seg_bits.append(nb)
+            base += nb
+    return out[:(total + 7) // 8].tobytes(), seg_bits, total
+
+
+def encode_video_sharded(frames, quant, mesh, use_rle: bool = True,
+                         gop: int = 4, merange: int = 16,
+                         use_huffman: bool = True, ref_mode: str = "raw",
+                         block_size: int = 4, norm: str = "reference",
+                         bit_capacity: int = 2 ** 31) -> bytes:
+    """Top-level sharded video encode with AUTOMATIC chunking past the
+    int32 device offset capacity (VERDICT r3 #8).
+
+    The device-side segment placement (cumsum'd frame base offsets, funnel
+    phases) runs in int32, so one pass cannot address a payload of 2**31
+    bits (~256 MB).  Rather than refusing (check_int32_bit_capacity), this
+    entry splits the video into GOP-aligned chunks that each fit, encodes
+    every chunk at bit offset 0 on the mesh, and bit-splices the chunk
+    payloads after the header on host — exactly the strategy the
+    single-device path uses for >32-frame videos (models/video.py), so the
+    result is byte-identical to what one oversized pass would produce.
+
+    frames: u8 [F, H, W]; F must divide the mesh "frame" axis (and, in
+    recon mode, each chunk's per-device frame count must be GOP-aligned —
+    the same constraints as make_sharded_video_packed).
+    """
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.headers import (VideoParams, write_image_header,
+                                  write_video_params)
+    from ..models.video import mvec_bits
+    from ..ops import bitpack
+    from ..ops.huffman import huffman_encode
+
+    f, h, w = frames.shape
+    gop = max(1, gop)
+    mb = mvec_bits(merange)
+    k = block_size * block_size
+    n_micro = (h // block_size) * (w // block_size)
+    n_macro = (h // MACRO) * (w // MACRO)
+    f_ax = mesh.shape["frame"]
+    s_ax = mesh.shape["block"]
+
+    writer = BitWriter()
+    if not use_huffman:
+        writer.put_bit(0)
+    write_image_header(writer, quant, use_rle, w, h)
+    write_video_params(writer, VideoParams(f, gop, merange))
+    header = writer.getvalue()
+    start_bit = writer.position
+
+    # Worst-case payload bits per frame (same bound class as the packers:
+    # 4-bit width + <=17-bit count + 17 bits per coefficient).
+    worst_frame = n_macro * 2 * mb + n_micro * (4 + 17 * (k + 1))
+    g = math.lcm(gop, f_ax) if ref_mode == "raw" else gop * f_ax
+    chunk_f = max(0, (int((bit_capacity - 64 - start_bit) // worst_frame)
+                      // g) * g)
+    if chunk_f == 0 and f > 0:
+        raise ValueError(
+            f"even {g} frames ({g * worst_frame} worst-case bits) exceed "
+            f"the {bit_capacity}-bit device offset capacity")
+
+    step = make_sharded_video_packed(mesh, gop, merange, mb, block_size,
+                                     use_rle, norm, ref_mode)
+    quant_f = jnp.asarray(quant.as_float(np.float32))
+    if f <= chunk_f:
+        mvw, blw, blk_bits, hist = jax.block_until_ready(
+            step(jnp.asarray(frames), quant_f, np.int32(start_bit)))
+        return assemble_sharded_video_packed(
+            mvw, blw, blk_bits, w, h, quant, use_rle, gop, merange,
+            use_huffman=use_huffman, hist=hist)
+
+    n_mb_loc = (h // s_ax // MACRO) * (w // MACRO)
+    mv_seg_bits = n_mb_loc * 2 * mb
+    segments: list[tuple[bytes, int]] = [(header, start_bit)]
+    for c0 in range(0, f, chunk_f):
+        part = np.asarray(frames[c0:c0 + chunk_f])
+        mvw, blw, blk_bits, _ = jax.block_until_ready(
+            step(jnp.asarray(part), quant_f, np.int32(0)))
+        inner, _, total = _splice_video_segments(
+            mvw, blw, blk_bits, b"", 0, gop, mv_seg_bits)
+        segments.append((inner, total))
+    inner = bitpack.concat_bit_segments(segments)
+    if use_huffman:
+        return huffman_encode(inner)
+    return inner
+
+
 def assemble_sharded_video_packed(mvw, blw, blk_bits, width: int, height: int,
                                   quant, use_rle: bool, gop: int,
                                   merange: int, use_huffman: bool = True,
@@ -597,37 +725,8 @@ def assemble_sharded_video_packed(mvw, blw, blk_bits, width: int, height: int,
     header = writer.getvalue()
     start_bit = writer.position
 
-    # Walk segments in wire order, OR-ing aligned words at their offsets.
-    seg_bits = []
-    base = start_bit
-    total = start_bit + sum(
-        (0 if fi % gop == 0 else s * mv_seg_bits) + int(blk_bits[fi].sum())
-        for fi in range(f))
-    from .sharding import check_int32_bit_capacity
-    check_int32_bit_capacity(total)
-    out = np.zeros((total + 7) // 8 + 8, dtype=np.uint8)
-    out[:len(header)] = np.frombuffer(header, dtype=np.uint8)
-
-    def put(words_row, base, nb):
-        if nb:
-            seg = words_row.astype(">u4").view(np.uint8)
-            b0 = (base >> 5) * 4
-            n = ((base & 31) + nb + 7) // 8
-            out[b0:b0 + n] |= seg[:n]
-
-    for fi in range(f):
-        is_p = fi % gop != 0
-        for si in range(s):
-            nb = mv_seg_bits if is_p else 0
-            put(mvw[fi, si], base, nb)
-            seg_bits.append(nb)
-            base += nb
-        for si in range(s):
-            nb = int(blk_bits[fi, si])
-            put(blw[fi, si], base, nb)
-            seg_bits.append(nb)
-            base += nb
-    inner = out[:(total + 7) // 8].tobytes()
+    inner, seg_bits, total = _splice_video_segments(
+        mvw, blw, blk_bits, header, start_bit, gop, mv_seg_bits)
 
     if not use_huffman:
         return inner

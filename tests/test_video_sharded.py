@@ -186,6 +186,64 @@ def test_sharded_video_packed_stream(ref_mode, use_huffman):
     assert assembled == single
 
 
+@pytest.mark.parametrize("use_huffman", [False, True])
+def test_sharded_video_auto_chunking(use_huffman):
+    """encode_video_sharded auto-chunks past the (injected) int32 offset
+    capacity instead of raising, and the spliced stream is byte-identical
+    to the unchunked sharded pass and the single-device encoder
+    (VERDICT r3 #8)."""
+    from imageencoder_tpu.models.video import encode_video
+    from imageencoder_tpu.parallel.video_sharding import encode_video_sharded
+    from imageencoder_tpu.utils.quant import QuantMatrix
+
+    quant = QuantMatrix.from_file("/root/reference/bin/matrix.txt")
+    data, _ = make_video(w=64, h=128, n=8, seed=33, smooth=False)
+    frames = split_yuv420(data, 64, 128)
+    mesh = make_mesh(8, frame_axis=2)
+
+    one_pass = encode_video_sharded(frames, quant, mesh, True, GOP, MERANGE,
+                                    use_huffman=use_huffman)
+    # Capacity that fits ~4 frames of worst-case payload: forces 2 chunks.
+    chunked = encode_video_sharded(frames, quant, mesh, True, GOP, MERANGE,
+                                   use_huffman=use_huffman,
+                                   bit_capacity=3_000_000)
+    assert chunked == one_pass
+    single = encode_video(data, 64, 128, quant, True, GOP, MERANGE,
+                          use_huffman=use_huffman, backend="jax")
+    assert chunked == single
+
+
+def test_sharded_video_auto_chunking_recon():
+    from imageencoder_tpu.models.video import encode_video
+    from imageencoder_tpu.parallel.video_sharding import encode_video_sharded
+    from imageencoder_tpu.utils.quant import QuantMatrix
+
+    quant = QuantMatrix.from_file("/root/reference/bin/matrix.txt")
+    data, _ = make_video(w=64, h=128, n=16, seed=9, smooth=False)
+    frames = split_yuv420(data, 64, 128)
+    mesh = make_mesh(8, frame_axis=2)
+    # recon granularity = gop * frame_axis = 8 frames; force 2 chunks.
+    chunked = encode_video_sharded(frames, quant, mesh, True, GOP, MERANGE,
+                                   use_huffman=True, ref_mode="recon",
+                                   bit_capacity=6_000_000)
+    single = encode_video(data, 64, 128, quant, True, GOP, MERANGE,
+                          use_huffman=True, backend="jax", ref_mode="recon")
+    assert chunked == single
+
+
+def test_sharded_video_capacity_error_when_unchunkable():
+    from imageencoder_tpu.parallel.video_sharding import encode_video_sharded
+    from imageencoder_tpu.utils.quant import QuantMatrix
+
+    quant = QuantMatrix.from_file("/root/reference/bin/matrix.txt")
+    data, _ = make_video(w=64, h=128, n=8, seed=3, smooth=True)
+    frames = split_yuv420(data, 64, 128)
+    mesh = make_mesh(8, frame_axis=2)
+    with pytest.raises(ValueError, match="capacity"):
+        encode_video_sharded(frames, quant, mesh, True, GOP, MERANGE,
+                             bit_capacity=100_000)  # < one GOP of frames
+
+
 @pytest.mark.parametrize("ref_mode", ["raw", "recon"])
 def test_sharded_video_stage2_huffman(ref_mode):
     """Distributed entropy coding over the packed video segments must be
