@@ -470,15 +470,15 @@ def _decode_video_fast(parsed, packed, quant, gop, width, height, norm,
     return [fr for g in gop_frames for fr in g]
 
 
-def decode_video(data: bytes, motioncomp: bool = True,
-                 norm: str = "reference", backend: str = "numpy",
-                 workers: int = 0, block_size: int = BLOCK_SIZE):
-    """Decode a video stream. Returns (yuv420 bytes, VideoParams, (w, h)).
+def parse_video_stream(data: bytes, block_size: int = BLOCK_SIZE):
+    """Host front half of video decode: Huffman stage, header parse and
+    the serial pass-1 record-layout walk (the stream's one true
+    dependency chain, SURVEY §3.2).
 
-    workers > 1 decodes GOPs in a thread pool: the stream walk is serial
-    (variable-length records), but GOPs are data-independent (every GOP
-    starts with an I-frame) and the heavy stages — native extraction and
-    the IDCT matmuls — release the GIL.  Output is identical to serial.
+    Returns (payload, quant, use_rle, params, width, height, parsed)
+    where parsed[f] = (mvec or None for I-frames, record start bit,
+    (offsets, data_bits, counts)).  Shared by decode_video and the
+    GOP-sharded decoder (parallel/video_sharding.decode_video_sharded).
     """
     if not data:
         from ..utils.exceptions import StreamFormatError
@@ -503,13 +503,8 @@ def decode_video(data: bytes, motioncomp: bool = True,
     mb = mvec_bits(params.merange)
     n_micro = (width // block_size) * (height // block_size)
     n_macro = (width // MACRO) * (height // MACRO)
-    y_size = width * height
-    uv = np.full(y_size // 2, UV_FILL, dtype=np.uint8)
     gop = max(1, params.gop)
-    packed = payload  # shared by per-frame parsing
 
-    # Pass 1 (serial): recover every frame's record layout — the stream's
-    # one true dependency chain (SURVEY §3.2).
     parsed = []  # per frame: (mv or None, start, (offs, dbits, counts))
     pos = reader.position
     for f in range(params.frame_count):
@@ -529,9 +524,30 @@ def decode_video(data: bytes, motioncomp: bool = True,
             pos = pos + nb
         start = pos
         walk = walk_block_offsets(None, pos, n_micro, use_rle,
-                                  block_size=block_size, packed=packed)
+                                  block_size=block_size, packed=payload)
         pos = walk[3]
         parsed.append((mv, start, walk[:3]))
+    return payload, quant, use_rle, params, width, height, parsed
+
+
+def decode_video(data: bytes, motioncomp: bool = True,
+                 norm: str = "reference", backend: str = "numpy",
+                 workers: int = 0, block_size: int = BLOCK_SIZE):
+    """Decode a video stream. Returns (yuv420 bytes, VideoParams, (w, h)).
+
+    workers > 1 decodes GOPs in a thread pool: the stream walk is serial
+    (variable-length records), but GOPs are data-independent (every GOP
+    starts with an I-frame) and the heavy stages — native extraction and
+    the IDCT matmuls — release the GIL.  Output is identical to serial.
+    """
+    (payload, quant, use_rle, params, width, height,
+     parsed) = parse_video_stream(data, block_size)
+    n_micro = (width // block_size) * (height // block_size)
+    n_macro = (width // MACRO) * (height // MACRO)
+    y_size = width * height
+    uv = np.full(y_size // 2, UV_FILL, dtype=np.uint8)
+    gop = max(1, params.gop)
+    packed = payload  # shared by per-frame parsing
 
     if (backend == "jax" and params.frame_count > 0
             and width % MACRO == 0 and height % MACRO == 0):

@@ -396,6 +396,20 @@ def make_decode_video_device(h: int, w: int, gop: int,
     prediction arithmetic is integer-exact.
     """
     import jax
+
+    fn = make_decode_video_chain(h, w, gop, block_size, norm, motioncomp)
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def make_decode_video_chain(h: int, w: int, gop: int, block_size: int = 4,
+                            norm: str = "reference",
+                            motioncomp: bool = True):
+    """The traced (un-jitted) decode frame chain — shared by the
+    single-device jit (make_decode_video_device) and the GOP-sharded
+    shard_map step (parallel/video_sharding.make_sharded_video_decode),
+    so both produce bit-identical frames."""
+    import jax
     import jax.numpy as jnp
 
     b = block_size
@@ -404,8 +418,7 @@ def make_decode_video_device(h: int, w: int, gop: int,
     nby, nbx = h // MACRO, w // MACRO
     bx_np, by_np = macro_grid(h, w)
 
-    @jax.jit
-    def decode_video_device(coeffs, mvec, quant):
+    def decode_video_chain(coeffs, mvec, quant):
         f = coeffs.shape[0]
         d = jnp.asarray(dct_m)
         qf = quant.astype(jnp.float32)
@@ -446,7 +459,7 @@ def make_decode_video_device(h: int, w: int, gop: int,
         _, frames = jax.lax.scan(step, init, (coeffs, mvec, is_i))
         return frames
 
-    return decode_video_device
+    return decode_video_chain
 
 
 @lru_cache(maxsize=None)

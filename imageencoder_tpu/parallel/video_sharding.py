@@ -738,6 +738,106 @@ def assemble_sharded_video_packed(mvw, blw, blk_bits, width: int, height: int,
     return huffman_encode_with_hist(inner, freqs)
 
 
+def make_sharded_video_decode(mesh, h: int, w: int, gop: int,
+                              block_size: int = 4, norm: str = "reference",
+                              motioncomp: bool = True):
+    """GOP-sharded device video DECODE step (VERDICT r3 #4).
+
+    GOPs are mutually independent (every GOP opens with an I-frame), so
+    the decode's frame-chain recursion shards perfectly at GOP
+    granularity: the GOP axis is laid over BOTH mesh axes (the decode
+    needs no stripe halo — prediction windows read the shard's own full
+    frames), and each device runs the same lax.scan chain as the
+    single-device decoder (ops/video_pipeline.make_decode_video_chain) on
+    its GOPs — frames come out bit-identical to the serial device decode.
+
+    Returns jitted f(coeffs i32 [G, L, Nmicro, B, B],
+                     mvec i32 [G, L, Nmacro, 2] (zero rows for I-frames),
+                     quant f32 [B, B]) -> frames u8 [G, L, h, w]
+    with G sharded over ("frame", "block") — G must divide the mesh size.
+    L is the (padded) GOP length; the caller trims padding.
+
+    Reference analogue: the strictly serial frame loop of
+    VideoDecoder.cpp:33-62.
+    """
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from ..ops.video_pipeline import make_decode_video_chain
+
+    chain = make_decode_video_chain(h, w, gop, block_size, norm, motioncomp)
+
+    def per_shard(coeffs, mvec, quant):
+        return jax.vmap(lambda c, m: chain(c, m, quant))(coeffs, mvec)
+
+    fn = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(("frame", "block")), P(("frame", "block")), P()),
+        out_specs=P(("frame", "block")),
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def decode_video_sharded(data: bytes, mesh, motioncomp: bool = True,
+                         norm: str = "reference", block_size: int = 4):
+    """Multi-chip video decode: the wire-forced serial stages (Huffman
+    FSM, offset walk, coefficient extraction) run on host, then the
+    per-GOP prediction/IDCT frame chains run sharded across the mesh —
+    the decode mirror of the sharded encoder.  Returns
+    (yuv420 bytes, VideoParams, (w, h)), byte-identical to
+    decode_video(..., backend="jax").
+
+    GOPs are padded (with zero GOPs, trimmed after) to a multiple of the
+    mesh size, and short tail GOPs to the full GOP length with zero
+    coefficients — padding never influences real frames (each GOP's chain
+    is independent and starts from its own I-frame).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.video import UV_FILL, parse_video_stream
+    from ..ops.zigzag import zigzag_order
+    from ..runtime.native import extract_coeffs_native
+
+    (payload, quant, use_rle, params, width, height,
+     parsed) = parse_video_stream(data, block_size)
+    f = params.frame_count
+    gop = max(1, params.gop)
+    k = block_size * block_size
+    n_micro = (width // block_size) * (height // block_size)
+    n_macro = (width // MACRO) * (height // MACRO)
+    zz = zigzag_order(block_size)
+
+    n_dev = mesh.shape["frame"] * mesh.shape["block"]
+    n_gops = -(-f // gop)
+    g_pad = -(-n_gops // n_dev) * n_dev
+
+    coeffs = np.zeros((g_pad, gop, n_micro, k), dtype=np.int32)
+    mvec = np.zeros((g_pad, gop, n_macro, 2), dtype=np.int32)
+    for fi, (mv, _, (offs, dbits, counts)) in enumerate(parsed):
+        coeffs[fi // gop, fi % gop] = extract_coeffs_native(
+            payload, offs, dbits, counts, zz, block_size)
+        if mv is not None:
+            mvec[fi // gop, fi % gop] = mv
+
+    step = make_sharded_video_decode(mesh, height, width, gop, block_size,
+                                     norm, motioncomp)
+    frames = np.asarray(jax.block_until_ready(step(
+        jnp.asarray(coeffs.reshape(g_pad, gop, n_micro,
+                                   block_size, block_size)),
+        jnp.asarray(mvec),
+        jnp.asarray(quant.as_float(np.float32)))))
+    frames = frames.reshape(g_pad * gop, height, width)[:f]
+
+    uv = np.full(width * height // 2, UV_FILL, dtype=np.uint8)
+    out = []
+    for frame in frames:
+        out.append(frame.reshape(-1))
+        out.append(uv)
+    return (b"".join(a.tobytes() for a in out), params, (width, height))
+
+
 def encode_sharded_video_huffman(mvw, blw, blk_bits, hist, width: int,
                                  height: int, quant, use_rle: bool,
                                  gop: int, merange: int, mesh) -> bytes:

@@ -244,6 +244,28 @@ def test_sharded_video_capacity_error_when_unchunkable():
                              bit_capacity=100_000)  # < one GOP of frames
 
 
+def test_sharded_video_decode_bit_identical():
+    """GOP-sharded device decode == single-device jax decode, bit for bit
+    (VERDICT r3 #4), incl. ragged GOP counts that need padding and the
+    motioncomp=0 toggle."""
+    from imageencoder_tpu.models.video import decode_video, encode_video
+    from imageencoder_tpu.parallel.video_sharding import decode_video_sharded
+    from imageencoder_tpu.utils.quant import QuantMatrix
+
+    quant = QuantMatrix.from_file("/root/reference/bin/matrix.txt")
+    mesh = make_mesh(8, frame_axis=2)
+    for n, gop, mc in [(8, GOP, True),   # 2 GOPs -> padded to 8
+                       (11, 3, True),    # ragged tail GOP
+                       (8, GOP, False)]:
+        data, _ = make_video(w=64, h=128, n=n, seed=5, smooth=False)
+        enc = encode_video(data, 64, 128, quant, True, gop, MERANGE,
+                           use_huffman=True)
+        want, wp, (ww, wh) = decode_video(enc, motioncomp=mc, backend="jax")
+        got, gp, (gw, gh) = decode_video_sharded(enc, mesh, motioncomp=mc)
+        assert (wp.frame_count, ww, wh) == (gp.frame_count, gw, gh)
+        assert got == want, (n, gop, mc)
+
+
 @pytest.mark.parametrize("ref_mode", ["raw", "recon"])
 def test_sharded_video_stage2_huffman(ref_mode):
     """Distributed entropy coding over the packed video segments must be
