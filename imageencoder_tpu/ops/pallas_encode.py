@@ -42,7 +42,28 @@ import numpy as np
 from .dct import dct_matrix
 from .zigzag import zigzag_order
 
-CHUNK = 4096  # records per grid step (must match ops/pallas_pack.CHUNK)
+CHUNK = 4096  # base record-padding granule (must match ops/pallas_pack.CHUNK)
+
+# Grid-chunk tiers (even powers of 4, so the bit-reversal factors into two
+# square axis permutations).  Round-4 on-chip sweep: the sequential packer
+# grid costs ~2-6 µs of fixed overhead PER STEP (and the front end similar),
+# so big inputs want few big steps — 57 -> 15 steps took the ex4 device
+# encode 1.31 -> 0.92 ms — while small inputs must not pay a 16k-record
+# padding tax.  Both kernels pick the largest tier dividing their input.
+CHUNK_TIERS = (16384, 4096)
+
+
+def pad_chunk_for(n: int) -> int:
+    """Padding granule for n records: the tier the grid will use."""
+    return CHUNK_TIERS[0] if n >= CHUNK_TIERS[0] else CHUNK_TIERS[-1]
+
+
+def grid_chunk_for(n_pad: int) -> int:
+    """Largest tier dividing an (already padded) record count."""
+    for t in CHUNK_TIERS:
+        if n_pad % t == 0:
+            return t
+    raise ValueError(f"{n_pad} is not a multiple of {CHUNK_TIERS[-1]}")
 
 
 def coeff_bound_bits(block_size: int, norm: str) -> int:
@@ -108,12 +129,13 @@ def frontend_matrices(block_size: int, norm: str):
 @lru_cache(maxsize=None)
 def _frontend_call(n_chunks: int, n_records: int, block_size: int,
                    use_rle: bool, db_max: int, lw: int, rows_pad: int,
-                   interpret: bool):
+                   interpret: bool, chunk: int = CHUNK):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    CHUNK = chunk  # noqa: N806 — grid-step record count (tiered)
     b = block_size
     k2 = b * b
     f = k2 + 2
@@ -278,15 +300,15 @@ def encode_locals_cols(x, n_records: int, quant, block_size: int = 4,
     if db is None:
         db = coeff_bound_bits(b, norm)
     n_pad = x.shape[1]
-    assert n_pad % CHUNK == 0
+    chunk = grid_chunk_for(n_pad)
     lw = lw_for_bits(b, db)
 
     a, bz, zz = frontend_matrices(b, norm)
     q = jnp.asarray(quant, jnp.float32).reshape(-1)[jnp.asarray(zz)]
-    qtile = jnp.broadcast_to(q[:, None], (b * b, CHUNK))
+    qtile = jnp.broadcast_to(q[:, None], (b * b, chunk))
 
-    call = _frontend_call(n_pad // CHUNK, n_records, b, use_rle, db, lw,
-                          rows_for_lw(lw), interpret)
+    call = _frontend_call(n_pad // chunk, n_records, b, use_rle, db, lw,
+                          rows_for_lw(lw), interpret, chunk)
     return call(x, jnp.asarray(a), jnp.asarray(bz), qtile)
 
 
@@ -301,7 +323,8 @@ def encode_locals(img, quant, block_size: int = 4, use_rle: bool = True,
     b = block_size
     h, w = img.shape
     n = (h // b) * (w // b)
-    n_pad = max(1, -(-n // CHUNK)) * CHUNK
+    pc = pad_chunk_for(n)
+    n_pad = max(1, -(-n // pc)) * pc
 
     x = blockify_columns(img, b, n_pad)
     locals_ = encode_locals_cols(x, n, quant, b, use_rle, norm,
@@ -348,7 +371,8 @@ def interleave_video_locals(block_locals, mv_locals, n_frames: int):
          block_locals.reshape(r, n_frames, n_micro)], axis=2)
     n = n_frames * (n_macro + n_micro)
     merged = merged.reshape(r, n)
-    n_pad = max(1, -(-n // CHUNK)) * CHUNK
+    pc = pad_chunk_for(n)
+    n_pad = max(1, -(-n // pc)) * pc
     if n_pad > n:
         merged = jnp.pad(merged, ((0, 0), (0, n_pad - n)))
     return merged

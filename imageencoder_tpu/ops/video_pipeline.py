@@ -260,17 +260,18 @@ def _encode_video_locals(x_tall, mvec, is_i, quant, n_frames: int,
     single-word register files; both interleave per frame in stream order
     (mvecs first, VideoEncoder.cpp:64-91) and feed the merge-only Pallas
     packer.  Bit-identical to the fields path (test_video_device.py)."""
-    from .pallas_encode import (CHUNK, blockify_columns,
+    from .pallas_encode import (blockify_columns,
                                 coeff_bound_bits_residual, encode_locals_cols,
                                 interleave_video_locals, lw_for_bits,
-                                mvec_locals, rows_for_lw)
+                                mvec_locals, pad_chunk_for, rows_for_lw)
     from .pallas_pack import pack_locals_pallas
 
     db = coeff_bound_bits_residual(b, norm)
     lw = lw_for_bits(b, db)
     th, w = x_tall.shape
     n_blocks = (th // b) * (w // b)
-    n_bpad = max(1, -(-n_blocks // CHUNK)) * CHUNK
+    pc = pad_chunk_for(n_blocks)
+    n_bpad = max(1, -(-n_blocks // pc)) * pc
     xc = blockify_columns(x_tall, b, n_bpad)
     bl = encode_locals_cols(xc, n_blocks, quant, b, use_rle, norm, db=db,
                             interpret=interpret)[:, :n_blocks]

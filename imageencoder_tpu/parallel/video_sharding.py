@@ -460,14 +460,16 @@ def make_sharded_video_packed(mesh, gop: int, merange: int, mvec_nbits: int,
             # the same transform-side win the single-chip video path got
             # (make_encode_video_packed), now per shard.
             from ..ops.pallas_encode import (
-                CHUNK, blockify_columns, coeff_bound_bits_residual,
-                encode_locals_cols, lw_for_bits, mvec_locals, rows_for_lw)
+                blockify_columns, coeff_bound_bits_residual,
+                encode_locals_cols, lw_for_bits, mvec_locals, pad_chunk_for,
+                rows_for_lw)
             from ..ops.pallas_pack import pack_locals_pallas
 
             db = coeff_bound_bits_residual(b, norm)
             flw = lw_for_bits(b, db)
-            n_bpad = max(1, -(-n_micro // CHUNK)) * CHUNK
-            n_mpad = max(1, -(-n_mb // CHUNK)) * CHUNK
+            pcb, pcm = pad_chunk_for(n_micro), pad_chunk_for(n_mb)
+            n_bpad = max(1, -(-n_micro // pcb)) * pcb
+            n_mpad = max(1, -(-n_mb // pcm)) * pcm
             blk_w, mv_w, bits_l = [], [], []
             for i in range(f_loc):
                 xc = blockify_columns(x_all[i], b, n_bpad)

@@ -82,3 +82,60 @@ def test_pallas_edge_patterns(pattern):
                                  jnp.int32(7), nw, interpret=True)
     assert int(ts) == int(tp)
     assert np.array_equal(np.asarray(ws), np.asarray(wp))
+
+
+def _locals_from_fields(vals, nbits, lw):
+    """Reference level-1: per-record register files + length row (numpy)."""
+    n, f = vals.shape
+    rows_pad = -(-(lw + 1) // 8) * 8
+    out = np.zeros((rows_pad, n), np.uint32)
+    for i in range(n):
+        acc = 0
+        bits = 0
+        for j in range(f):
+            b = int(nbits[i, j])
+            if b:
+                acc = (acc << b) | (int(vals[i, j]) & ((1 << b) - 1))
+                bits += b
+        out[lw, i] = bits
+        word = acc << ((32 * lw - bits) % (32 * lw) if bits else 0)
+        word = acc << (32 * lw - bits) if bits else 0
+        for w in range(lw):
+            out[w, i] = (word >> (32 * (lw - 1 - w))) & 0xFFFFFFFF
+    return out
+
+
+@pytest.mark.parametrize("dense", [False, True])
+def test_pack_locals_capped_vs_fallback(dense):
+    """The capped merge tree and the worst-case fallback produce identical
+    streams: `dense=True` builds adversarial all-maximal records that
+    overflow the cap schedule (the lax.cond takes the fallback branch),
+    `dense=False` stays on the capped fast path; both must equal the
+    BitWriter-order concatenation."""
+    from imageencoder_tpu.ops.bitpack import pack_fields
+    from imageencoder_tpu.ops.pallas_pack import pack_locals_pallas
+
+    rng = np.random.default_rng(5 if dense else 6)
+    n, f, lw = CHUNK + 37, 18, 6
+    if dense:
+        nbits = np.full((n, f), 10, np.int32)  # 180 bits/record >> caps
+    else:
+        nbits = rng.integers(0, 5, (n, f)).astype(np.int32)
+    vals = rng.integers(0, 2 ** 9, (n, f)).astype(np.int32)
+    start = 169
+
+    locals_np = _locals_from_fields(vals, nbits, lw)
+    n_pad = -(-n // CHUNK) * CHUNK
+    locals_np = np.pad(locals_np, ((0, 0), (0, n_pad - n)))
+
+    exp_vals = np.concatenate([[0], (vals & ((1 << np.maximum(nbits, 1)) - 1))
+                               .ravel()]).astype(np.int64)
+    exp_bits = np.concatenate([[start], nbits.ravel()]).astype(np.int64)
+    exp_bytes, exp_total = pack_fields(exp_vals, exp_bits)
+
+    nw = n * (lw + 1) + 70
+    words, total = pack_locals_pallas(jnp.asarray(locals_np), lw,
+                                      jnp.int32(start), nw, interpret=True)
+    assert int(total) == exp_total
+    got = np.asarray(words).astype(">u4").tobytes()[:(exp_total + 7) // 8]
+    assert got == exp_bytes
