@@ -115,31 +115,42 @@ def encode_image(img: np.ndarray, quant: QuantMatrix, use_rle: bool = True,
         from ..runtime.native import tune_allocator
 
         tune_allocator()
-        with profiling.stage("transform"):
-            # Both host backends use the fused native exact-order
-            # transform since round 3: it is FASTER than the f32 BLAS
-            # chain it replaced (no f64 block expansion or numpy rounding
-            # passes) and bit-parity with the reference — "fast" keeps its
-            # f32 meaning on the decode side only.
-            from ..ops.dct import forward_transform_quantize_zz
-
-            blocks = blockify(img, block_size)
-            coeffs_zz = forward_transform_quantize_zz(
-                blocks, quant.as_float(), norm, zigzag_order(block_size))
+        inner = None
         try:
-            from ..runtime.native import encode_pack_blocks_native
+            # One native pass over the pixels: per-block read + exact-order
+            # f64 DCT + quantize + RLE stats + chunk-parallel record
+            # bitpack (runtime.cpp::encode_frame_pack with no prediction —
+            # an image IS an I-frame, Frame.cpp:130-159).  No blockified
+            # intermediates or coefficient tensors materialize.
+            from ..ops.dct import _fwd_weights
+            from ..runtime.native import encode_frame_pack_native
 
-            # One native pass: RLE stats + field emission + bit pack
-            # (no [N, K+2] int64 field tensors materialize).
-            with profiling.stage("stats+fields+bitpack"):
-                prefix, _ = bitpack.pack_fields(
-                    np.asarray(writer.values, dtype=np.int64),
-                    np.asarray(writer.nbits, dtype=np.int64))
-                inner, _ = encode_pack_blocks_native(
-                    coeffs_zz, use_rle, prefix, writer.position)
+            wf, scale = _fwd_weights(block_size, norm)
+            k = block_size * block_size
+            n_blocks = (h // block_size) * (w // block_size)
+            cap_bits = writer.position + 64 + n_blocks * (4 + 17 * (k + 1))
+            out = np.zeros((cap_bits + 7) // 8, dtype=np.uint8)
+            prefix, _ = bitpack.pack_fields(
+                np.asarray(writer.values, dtype=np.int64),
+                np.asarray(writer.nbits, dtype=np.int64))
+            out[:len(prefix)] = np.frombuffer(prefix, dtype=np.uint8)
+            with profiling.stage("fused encode"):
+                total = encode_frame_pack_native(
+                    img, None, quant.as_float(), wf, scale, None,
+                    zigzag_order(block_size), block_size, use_rle, None, 0,
+                    None, writer.position, out)
+            inner = out[:(total + 7) // 8].tobytes()
         except Exception as e:
             from ..runtime.native import warn_fallback
-            warn_fallback("encode_pack_blocks", e)
+            warn_fallback("encode_frame_pack_image", e)
+        if inner is None:
+            with profiling.stage("transform"):
+                from ..ops.dct import forward_transform_quantize_zz
+
+                blocks = blockify(img, block_size)
+                coeffs_zz = forward_transform_quantize_zz(
+                    blocks, quant.as_float(), norm,
+                    zigzag_order(block_size))
             with profiling.stage("stats"):
                 stats = rle.block_stats(coeffs_zz, use_rle)
                 vals, nbits = rle.block_fields(coeffs_zz, stats, use_rle)

@@ -24,7 +24,7 @@
 #include <cstdint>
 #include <functional>
 #include <mutex>
-#if defined(__AVX512F__)
+#if defined(__SSE2__) || defined(__AVX512F__)
 #include <immintrin.h>
 #endif
 #include <cstdio>
@@ -412,6 +412,57 @@ static inline void extract16_fields(const uint8_t* data, int64_t off, int b,
         if (v & sign_bit) v |= ext;
         cf[zz[j]] = (int32_t)v;
     }
+}
+
+// AVX-512 4x4 exact forward transform + quantize + zig-zag: the mirror of
+// idct16_accum_avx512 for the encode side.  Accumulation runs in
+// c-ascending order with separate vmulpd/vaddpd (no FMA), then the
+// *scale, /quant, trunc-based round-half-away epilogue element-wise —
+// every per-element operation and its order match the scalar loop, so the
+// coefficients are BIT-IDENTICAL (tests pin both paths).
+static inline void dct16_quant_avx512(const double* x, const double* wf,
+                                      const double* scale,
+                                      const double* quant,
+                                      const int32_t* zz, int32_t* row) {
+    __m512d a0 = _mm512_setzero_pd(), a1 = _mm512_setzero_pd();
+    for (int c = 0; c < 16; c++) {
+        const __m512d xv = _mm512_set1_pd(x[c]);
+        const double* wr = wf + (size_t)c * 16;
+        a0 = _mm512_add_pd(a0, _mm512_mul_pd(xv, _mm512_loadu_pd(wr)));
+        a1 = _mm512_add_pd(a1, _mm512_mul_pd(xv, _mm512_loadu_pd(wr + 8)));
+    }
+    const __m512d z0 = _mm512_div_pd(
+        _mm512_mul_pd(a0, _mm512_loadu_pd(scale)), _mm512_loadu_pd(quant));
+    const __m512d z1 = _mm512_div_pd(
+        _mm512_mul_pd(a1, _mm512_loadu_pd(scale + 8)),
+        _mm512_loadu_pd(quant + 8));
+    const __m512d t0 = _mm512_roundscale_pd(z0, _MM_FROUND_TO_ZERO
+                                                    | _MM_FROUND_NO_EXC);
+    const __m512d t1 = _mm512_roundscale_pd(z1, _MM_FROUND_TO_ZERO
+                                                    | _MM_FROUND_NO_EXC);
+    const __m512d d0 = _mm512_sub_pd(z0, t0);
+    const __m512d d1 = _mm512_sub_pd(z1, t1);
+    const __m512d half = _mm512_set1_pd(0.5);
+    const __m512d nhalf = _mm512_set1_pd(-0.5);
+    const __mmask8 h0 = _mm512_cmp_pd_mask(d0, half, _CMP_GE_OQ)
+                        | _mm512_cmp_pd_mask(d0, nhalf, _CMP_LE_OQ);
+    const __mmask8 h1 = _mm512_cmp_pd_mask(d1, half, _CMP_GE_OQ)
+                        | _mm512_cmp_pd_mask(d1, nhalf, _CMP_LE_OQ);
+    const __m512d zero = _mm512_setzero_pd();
+    const __m512d one = _mm512_set1_pd(1.0);
+    const __m512d mone = _mm512_set1_pd(-1.0);
+    const __m512d inc0 = _mm512_mask_blend_pd(
+        _mm512_cmp_pd_mask(z0, zero, _CMP_GE_OQ), mone, one);
+    const __m512d inc1 = _mm512_mask_blend_pd(
+        _mm512_cmp_pd_mask(z1, zero, _CMP_GE_OQ), mone, one);
+    const __m512d r0 = _mm512_add_pd(t0, _mm512_mask_blend_pd(h0, zero,
+                                                              inc0));
+    const __m512d r1 = _mm512_add_pd(t1, _mm512_mask_blend_pd(h1, zero,
+                                                              inc1));
+    alignas(32) int32_t rm[16];
+    _mm256_store_si256((__m256i*)rm, _mm512_cvttpd_epi32(r0));
+    _mm256_store_si256((__m256i*)(rm + 8), _mm512_cvttpd_epi32(r1));
+    for (int j = 0; j < 16; j++) row[j] = rm[zz[j]];
 }
 
 static inline void store16_px(__m512d acc0, __m512d acc1,
@@ -1541,6 +1592,38 @@ int64_t predict_frame(const uint8_t* ref, int64_t h, int64_t w,
 // for p > 0, window clamping at the frame edge).  steps = the per-level
 // step sizes (merange//2, //4, ..., 1).  out_mvec int32 [N, 2] as (x, y)
 // relative offsets, MacroBlocks in row-major order.
+// 16x16 SAD of a macroblock against a reference window (both stride w).
+// psadbw sums absolute u8 differences 8 bytes at a time — one op per
+// 16-byte row instead of 16 scalar abs-diffs; integer-exact either way.
+static inline int64_t sad16x16(const uint8_t* a, const uint8_t* b,
+                               int64_t w) {
+#if defined(__SSE2__)
+    __m128i acc = _mm_setzero_si128();
+    for (int r = 0; r < 16; r++) {
+        const __m128i va =
+            _mm_loadu_si128((const __m128i*)(a + (int64_t)r * w));
+        const __m128i vb =
+            _mm_loadu_si128((const __m128i*)(b + (int64_t)r * w));
+        acc = _mm_add_epi64(acc, _mm_sad_epu8(va, vb));
+    }
+    return _mm_cvtsi128_si64(acc)
+           + _mm_cvtsi128_si64(_mm_srli_si128(acc, 8));
+#else
+    int64_t diff = 0;
+    for (int r = 0; r < 16; r++) {
+        const uint8_t* c_ = a + (int64_t)r * w;
+        const uint8_t* r_ = b + (int64_t)r * w;
+        int d = 0;
+        for (int c2 = 0; c2 < 16; c2++) {
+            const int t = (int)c_[c2] - (int)r_[c2];
+            d += t < 0 ? -t : t;
+        }
+        diff += d;
+    }
+    return diff;
+#endif
+}
+
 int64_t find_motion(const uint8_t* cur, const uint8_t* ref, int64_t h,
                     int64_t w, const int32_t* steps, int n_steps,
                     int32_t* out_mvec) {
@@ -1570,17 +1653,7 @@ int64_t find_motion(const uint8_t* cur, const uint8_t* ref, int64_t h,
                 if (py > h - 16) py = h - 16;
                 if (p > 0 && px == bx && py == by) continue;  // skip rule
                 const uint8_t* rb = ref + py * w + px;
-                int64_t diff = 0;
-                for (int r = 0; r < 16; r++) {
-                    const uint8_t* c_ = cb + (int64_t)r * w;
-                    const uint8_t* r_ = rb + (int64_t)r * w;
-                    int d = 0;
-                    for (int c2 = 0; c2 < 16; c2++) {
-                        const int t = (int)c_[c2] - (int)r_[c2];
-                        d += t < 0 ? -t : t;
-                    }
-                    diff += d;
-                }
+                const int64_t diff = sad16x16(cb, rb, w);
                 if (diff <= running) {
                     running = diff;
                     selx = cx;
@@ -1617,6 +1690,15 @@ int64_t dct_quantize_exact(const uint8_t* blocks, int64_t n_blocks, int k,
         TSAN_HB_ACQUIRE();
         const uint8_t* x = blocks + n * k;
         int32_t* row = out + n * k;
+#if defined(__AVX512F__)
+        if (k == 16 && zz) {
+            alignas(64) double xd[16];
+            for (int c = 0; c < 16; c++) xd[c] = (double)x[c] - 128.0;
+            dct16_quant_avx512(xd, w, scale, quant, zz, row);
+            TSAN_HB_RELEASE();
+            continue;
+        }
+#endif
         double acc[256];
         for (int uv = 0; uv < k; uv++) acc[uv] = 0.0;
         for (int c = 0; c < k; c++) {
@@ -1656,6 +1738,15 @@ int64_t dct_quantize_exact_f64(const double* blocks, int64_t n_blocks,
         TSAN_HB_ACQUIRE();
         const double* x = blocks + n * k;
         int32_t* row = out + n * k;
+#if defined(__AVX512F__)
+        if (k == 16 && zz) {
+            alignas(64) double xd[16];
+            for (int c = 0; c < 16; c++) xd[c] = x[c] - 128.0;
+            dct16_quant_avx512(xd, w, scale, quant, zz, row);
+            TSAN_HB_RELEASE();
+            continue;
+        }
+#endif
         double acc[256];
         for (int uv = 0; uv < k; uv++) acc[uv] = 0.0;
         for (int c = 0; c < k; c++) {
@@ -1872,24 +1963,31 @@ int64_t encode_frame_pack(const uint8_t* cur, const uint8_t* pred,
             // Reference accumulation order (algo.cpp:309-331; no FMA —
             // built with -ffp-contract=off), then *scale, /quant,
             // trunc-based round-half-away (Block.cpp:148-153).
-            for (int uv = 0; uv < k; uv++) acc[uv] = 0.0;
-            for (int c2 = 0; c2 < k; c2++) {
-                const double xv = x[c2];
-                const double* wr = wf + (size_t)c2 * k;
-                for (int uv = 0; uv < k; uv++) {
-                    const double t = xv * wr[uv];
-                    acc[uv] += t;
-                }
-            }
             int32_t* row = czz.data() + (size_t)nb * k;
-            for (int j = 0; j < k; j++) {
-                const int uv = zz[j];
-                const double y = acc[uv] * scale[uv];
-                const double z = y / quant[uv];
-                const double t = __builtin_trunc(z);
-                const double d = z - t;
-                row[j] = (int32_t)((d >= 0.5 || d <= -0.5)
-                                   ? (z >= 0.0 ? t + 1.0 : t - 1.0) : t);
+#if defined(__AVX512F__)
+            if (k == 16) {
+                dct16_quant_avx512(x, wf, scale, quant, zz, row);
+            } else
+#endif
+            {
+                for (int uv = 0; uv < k; uv++) acc[uv] = 0.0;
+                for (int c2 = 0; c2 < k; c2++) {
+                    const double xv = x[c2];
+                    const double* wr = wf + (size_t)c2 * k;
+                    for (int uv = 0; uv < k; uv++) {
+                        const double t = xv * wr[uv];
+                        acc[uv] += t;
+                    }
+                }
+                for (int j = 0; j < k; j++) {
+                    const int uv = zz[j];
+                    const double y = acc[uv] * scale[uv];
+                    const double z = y / quant[uv];
+                    const double t = __builtin_trunc(z);
+                    const double d = z - t;
+                    row[j] = (int32_t)((d >= 0.5 || d <= -0.5)
+                                       ? (z >= 0.0 ? t + 1.0 : t - 1.0) : t);
+                }
             }
             bits += block_stats_one(row, k, use_rle, &db[(size_t)nb],
                                     &cntv[(size_t)nb], &npay[(size_t)nb]);

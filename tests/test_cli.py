@@ -114,6 +114,7 @@ def test_cli_trace_prints_stage_table(image_job, capsys):
     img, conf, d = image_job
     assert main([conf, "--trace"]) == 0
     out = capsys.readouterr().err
-    assert "[trace:image encode]" in out and "bitpack" in out
-    assert "[trace:image decode]" in out and "idct" in out
+    assert "[trace:image encode]" in out and "fused encode" in out
+    assert "[trace:image decode]" in out and (
+        "idct" in out or "extract" in out)
     assert "total:" in out
