@@ -181,8 +181,13 @@ def _dict_and_codes(freqs: np.ndarray):
 
 def huffman_encode(inner: bytes) -> bytes:
     """Compress ``inner`` (whole-byte stream); fallback to [0][raw] if bigger."""
-    data = np.frombuffer(inner, dtype=np.uint8)
-    freqs = np.bincount(data, minlength=256)
+    try:
+        from ..runtime.native import byte_histogram_native
+
+        freqs = byte_histogram_native(inner)
+    except Exception:
+        data = np.frombuffer(inner, dtype=np.uint8)
+        freqs = np.bincount(data, minlength=256)
     return huffman_encode_with_hist(inner, freqs)
 
 

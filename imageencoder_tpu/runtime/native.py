@@ -69,6 +69,10 @@ def _register(lib) -> None:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong]
     lib.huffman_fsm_decode_head.restype = ctypes.c_longlong
     lib.huffman_fsm_decode_head.argtypes = lib.huffman_fsm_decode.argtypes
+    lib.byte_histogram.restype = ctypes.c_longlong
+    lib.byte_histogram.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_int64)]
     lib.parse_huffman_dict.restype = ctypes.c_longlong
     lib.parse_huffman_dict.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong, ctypes.c_longlong,
@@ -250,6 +254,21 @@ def huffman_fsm_decode_native(data: bytes, start_bit: int, entries) -> bytes:
     if n < 0:
         raise ValueError("native huffman decode failed")
     return out[:n].tobytes()
+
+
+def byte_histogram_native(data: bytes) -> np.ndarray:
+    """Parallel exact byte histogram (int64 [256])."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("native runtime not built")
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.zeros(256, np.int64)
+    rc = lib.byte_histogram(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc < 0:
+        raise ValueError("native byte_histogram failed")
+    return out
 
 
 def parse_huffman_dict_native(data: bytes, start_bit: int = 0):

@@ -708,8 +708,11 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
     #ifdef _OPENMP
     n_threads = omp_get_max_threads();
     #endif
-    int n_chunks = n_threads;
-    if (n_chunks > 1 && n_in < (int64_t)1 << 16) n_chunks = 1;
+    // Two chunks per thread, walked INTERLEAVED in pass 1: two
+    // independent state chains hide the table walk's dependent-load
+    // latency (~1.7x, same trick as the pipelined decoder's chunk pairs).
+    int n_chunks = 2 * n_threads;
+    if (n_in < (int64_t)1 << 16) n_chunks = 1;
     const int64_t per = (n_in + n_chunks - 1) / n_chunks;
     const auto chunk_lo = [&](int ci) { return first_byte + (int64_t)ci * per; };
     const auto chunk_hi = [&](int ci) {
@@ -731,28 +734,75 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
         return spec_out.get() + (chunk_lo(ci) - first_byte) * 8
                + (size_t)ci * 8;
     };
+    const int n_pairs = (n_chunks + 1) / 2;
     TSAN_HB_RELEASE();
     #ifdef _OPENMP
     #pragma omp parallel for schedule(static)
     #endif
-    for (int ci = 0; ci < n_chunks; ci++) {
+    for (int pi = 0; pi < n_pairs; pi++) {
         TSAN_HB_ACQUIRE();
-        int32_t s = ci == 0 ? node : 0;  // chunk 0's entry state IS known;
-        int64_t cnt = 0;                 // others speculate from the root
-        int32_t* traj = &spec_traj[(size_t)ci * SYNC_K];
-        int64_t* pref = &spec_pref[(size_t)ci * SYNC_K];
-        uint8_t* op = spec_buf(ci);
-        const int64_t lo = chunk_lo(ci), hi = chunk_hi(ci);
-        for (int64_t i = lo; i < hi; i++) {
-            const size_t idx = (size_t)s * 256 + data[i];
-            const int32_t e = step_tab[idx];
-            std::memcpy(op + cnt, &sym_tab[idx * 8], 8);  // c <= 8 live
-            cnt += e & 15;
-            s = e >> 4;
-            if (i - lo < SYNC_K) { traj[i - lo] = s; pref[i - lo] = cnt; }
+        const int ca = 2 * pi, cb = 2 * pi + 1;
+        int32_t sa = ca == 0 ? node : 0;  // chunk 0's entry state IS known;
+        int32_t sb = 0;                   // others speculate from the root
+        int64_t cnta = 0, cntb = 0;
+        int32_t* traja = &spec_traj[(size_t)ca * SYNC_K];
+        int64_t* prefa = &spec_pref[(size_t)ca * SYNC_K];
+        uint8_t* opa = spec_buf(ca);
+        const int64_t loa = chunk_lo(ca), hia = chunk_hi(ca);
+        if (cb < n_chunks) {
+            int32_t* trajb = &spec_traj[(size_t)cb * SYNC_K];
+            int64_t* prefb = &spec_pref[(size_t)cb * SYNC_K];
+            uint8_t* opb = spec_buf(cb);
+            const int64_t lob = chunk_lo(cb), hib = chunk_hi(cb);
+            const int64_t na = hia - loa, nb2 = hib - lob;
+            const int64_t nmin = na < nb2 ? na : nb2;
+            for (int64_t i = 0; i < nmin; i++) {
+                const size_t ia = (size_t)sa * 256 + data[loa + i];
+                const size_t ib = (size_t)sb * 256 + data[lob + i];
+                const int32_t ea = step_tab[ia];
+                const int32_t eb = step_tab[ib];
+                std::memcpy(opa + cnta, &sym_tab[ia * 8], 8);  // c <= 8 live
+                std::memcpy(opb + cntb, &sym_tab[ib * 8], 8);
+                cnta += ea & 15;
+                sa = ea >> 4;
+                cntb += eb & 15;
+                sb = eb >> 4;
+                if (i < SYNC_K) {
+                    traja[i] = sa; prefa[i] = cnta;
+                    trajb[i] = sb; prefb[i] = cntb;
+                }
+            }
+            for (int64_t i = nmin; i < nb2; i++) {
+                const size_t ib = (size_t)sb * 256 + data[lob + i];
+                const int32_t eb = step_tab[ib];
+                std::memcpy(opb + cntb, &sym_tab[ib * 8], 8);
+                cntb += eb & 15;
+                sb = eb >> 4;
+                if (i < SYNC_K) { trajb[i] = sb; prefb[i] = cntb; }
+            }
+            spec_state[cb] = sb;
+            spec_count[cb] = cntb;
+            for (int64_t i = nmin; i < na; i++) {
+                const size_t ia = (size_t)sa * 256 + data[loa + i];
+                const int32_t ea = step_tab[ia];
+                std::memcpy(opa + cnta, &sym_tab[ia * 8], 8);
+                cnta += ea & 15;
+                sa = ea >> 4;
+                if (i < SYNC_K) { traja[i] = sa; prefa[i] = cnta; }
+            }
+        } else {
+            for (int64_t i = loa; i < hia; i++) {
+                const size_t ia = (size_t)sa * 256 + data[i];
+                const int32_t ea = step_tab[ia];
+                std::memcpy(opa + cnta, &sym_tab[ia * 8], 8);
+                cnta += ea & 15;
+                sa = ea >> 4;
+                if (i - loa < SYNC_K) { traja[i - loa] = sa;
+                                        prefa[i - loa] = cnta; }
+            }
         }
-        spec_state[ci] = s;
-        spec_count[ci] = cnt;
+        spec_state[ca] = sa;
+        spec_count[ca] = cnta;
         TSAN_HB_RELEASE();
     }
     TSAN_HB_ACQUIRE();
@@ -878,6 +928,35 @@ int64_t huffman_fsm_decode_head(const uint8_t* data, int64_t nbytes,
         }
     }
     return n_out;
+}
+
+// Parallel byte histogram (np.bincount on u8 measured 8 ms on a 1.8 MB
+// stream — 80% of host Huffman encode; per-thread counters make it
+// ~0.3 ms).  Serial analogue: Huffman.cpp:236-243.
+int64_t byte_histogram(const uint8_t* data, int64_t n, int64_t* out) {
+    int nt = 1;
+    #ifdef _OPENMP
+    if (n > (int64_t)1 << 16) nt = omp_get_max_threads();
+    #endif
+    std::vector<int64_t> loc((size_t)nt * 256, 0);
+    TSAN_HB_RELEASE();
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+    #endif
+    for (int t = 0; t < nt; t++) {
+        TSAN_HB_ACQUIRE();
+        const int64_t lo = n * t / nt, hi = n * (t + 1) / nt;
+        int64_t* hcnt = &loc[(size_t)t * 256];
+        for (int64_t i = lo; i < hi; i++) hcnt[data[i]]++;
+        TSAN_HB_RELEASE();
+    }
+    TSAN_HB_ACQUIRE();
+    for (int v = 0; v < 256; v++) {
+        int64_t s = 0;
+        for (int t = 0; t < nt; t++) s += loc[(size_t)t * 256 + v];
+        out[v] = s;
+    }
+    return 0;
 }
 
 // Parse the Huffman dict groups at start_bit: {1-bit has-items | 7-bit

@@ -49,6 +49,7 @@ int64_t find_motion(const uint8_t*, const uint8_t*, int64_t, int64_t,
                     const int32_t*, int, int32_t*);
 int64_t predict_frame(const uint8_t*, int64_t, int64_t, const int32_t*,
                       uint8_t*);
+int64_t byte_histogram(const uint8_t*, int64_t, int64_t*);
 }
 
 static uint32_t lcg_state = 12345;
@@ -188,6 +189,12 @@ int main() {
                             (vh / 16) * (vw / 16), 5, wi, recon.data(), pos,
                             vstream.data(), (int64_t)vstream.size());
     CHECK(pos > 0);
+
+    // 8. Parallel byte histogram vs a serial recount.
+    int64_t hist[256], ser[256] = {0};
+    CHECK(byte_histogram(stream.data(), sbytes, hist) == 0);
+    for (int64_t i = 0; i < sbytes; i++) ser[stream[(size_t)i]]++;
+    for (int v = 0; v < 256; v++) CHECK(hist[v] == ser[v]);
 
     std::printf("sanitize_drive: ok (%lld stream bits)\n",
                 (long long)total);
