@@ -100,6 +100,29 @@ struct BitEmitter {
     inline void put(int b, uint64_t val) {  // b <= 32
         acc = (acc << b) | (val & ((1ull << b) - 1));
         na += b;
+        // Flush whole 32-bit groups (4x fewer iterations than per-byte).
+        // Every flushed byte is this writer's exclusive content except
+        // possibly the very first, which may share with the previous
+        // writer's partial tail and is merged with an atomic OR.
+        while (na >= 32) {
+            const uint32_t w32 = (uint32_t)(acc >> (na - 32));
+            if (first) {
+                __atomic_fetch_or(&out[byte_pos], (uint8_t)(w32 >> 24),
+                                  __ATOMIC_RELAXED);
+                out[byte_pos + 1] = (uint8_t)(w32 >> 16);
+                out[byte_pos + 2] = (uint8_t)(w32 >> 8);
+                out[byte_pos + 3] = (uint8_t)w32;
+                first = false;
+            } else {
+                const uint32_t be = __builtin_bswap32(w32);
+                std::memcpy(&out[byte_pos], &be, 4);
+            }
+            byte_pos += 4;
+            na -= 32;
+        }
+    }
+
+    inline void flush() {  // partial tail byte is shared with the next writer
         while (na >= 8) {
             const uint8_t by = (uint8_t)(acc >> (na - 8));
             if (first) {
@@ -111,9 +134,6 @@ struct BitEmitter {
             byte_pos++;
             na -= 8;
         }
-    }
-
-    inline void flush() {  // partial tail byte is shared with the next writer
         if (na > 0) {
             const uint8_t by = (uint8_t)((acc << (8 - na)) & 0xFF);
             __atomic_fetch_or(&out[byte_pos], by, __ATOMIC_RELAXED);
@@ -2160,32 +2180,12 @@ int64_t huffman_pack_bytes(const uint8_t* data, int64_t n,
         TSAN_HB_ACQUIRE();
         const int64_t lo = (int64_t)ci * per;
         const int64_t hi = lo + per < n ? lo + per : n;
-        const int64_t p = cstart[(size_t)ci];
-        int64_t byte_pos = p >> 3;
-        uint64_t acc = 0;          // phase bits enter as leading zeros
-        int na = (int)(p & 7);
-        bool first = true;         // first flushed byte may be shared
+        BitEmitter em(out, cstart[(size_t)ci]);
         for (int64_t i = lo; i < hi; i++) {
             const uint8_t b = data[i];
-            const int len = code_lens[b];
-            acc = (acc << len) | code_words[b];
-            na += len;
-            while (na >= 8) {
-                const uint8_t by = (uint8_t)(acc >> (na - 8));
-                if (first) {
-                    __atomic_fetch_or(&out[byte_pos], by, __ATOMIC_RELAXED);
-                    first = false;
-                } else {
-                    out[byte_pos] = by;
-                }
-                byte_pos++;
-                na -= 8;
-            }
+            em.put(code_lens[b], code_words[b]);
         }
-        if (na > 0) {  // partial tail byte is shared with the next chunk
-            const uint8_t by = (uint8_t)((acc << (8 - na)) & 0xFF);
-            __atomic_fetch_or(&out[byte_pos], by, __ATOMIC_RELAXED);
-        }
+        em.flush();
         TSAN_HB_RELEASE();
     }
     TSAN_HB_ACQUIRE();
@@ -2229,11 +2229,7 @@ int64_t pack_fields(const int64_t* values, const int32_t* nbits, int64_t m,
             TSAN_HB_ACQUIRE();
             const int64_t lo = (int64_t)ci * per;
             const int64_t hi = lo + per < m ? lo + per : m;
-            const int64_t p = cstart[(size_t)ci];
-            int64_t byte_pos = p >> 3;
-            uint64_t acc = 0;      // phase bits enter as leading zeros
-            int na = (int)(p & 7);
-            bool first = true;     // first flushed byte may be shared
+            BitEmitter em(out, cstart[(size_t)ci]);
             for (int64_t i = lo; i < hi; i++) {
                 int b = nbits[i];
                 if (b == 0) continue;
@@ -2241,29 +2237,11 @@ int64_t pack_fields(const int64_t* values, const int32_t* nbits, int64_t m,
                     & ((b >= 64) ? ~0ull : ((1ull << b) - 1));
                 while (b > 0) {
                     const int take = b > 32 ? 32 : b;
-                    acc = (acc << take)
-                        | ((v >> (b - take))
-                           & ((take >= 64) ? ~0ull : ((1ull << take) - 1)));
-                    na += take;
+                    em.put(take, v >> (b - take));
                     b -= take;
-                    while (na >= 8) {
-                        const uint8_t by = (uint8_t)(acc >> (na - 8));
-                        if (first) {
-                            __atomic_fetch_or(&out[byte_pos], by,
-                                              __ATOMIC_RELAXED);
-                            first = false;
-                        } else {
-                            out[byte_pos] = by;
-                        }
-                        byte_pos++;
-                        na -= 8;
-                    }
                 }
             }
-            if (na > 0) {  // partial tail byte shared with the next chunk
-                const uint8_t by = (uint8_t)((acc << (8 - na)) & 0xFF);
-                __atomic_fetch_or(&out[byte_pos], by, __ATOMIC_RELAXED);
-            }
+            em.flush();
             TSAN_HB_RELEASE();
         }
         TSAN_HB_ACQUIRE();

@@ -183,3 +183,20 @@ def test_group_split_over_127_entries():
         lengths[ln] += 1
     assert max(lengths.values()) > 127  # the split case actually occurred
     assert huffman_decode(enc)[:len(data)] == data
+
+
+def test_native_byte_histogram_matches_bincount():
+    import numpy as np
+
+    from imageencoder_tpu.runtime.native import available, byte_histogram_native
+
+    if not available():
+        import pytest
+
+        pytest.skip("native runtime not built")
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 255, 65537, 1 << 20):
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        got = byte_histogram_native(data)
+        want = np.bincount(np.frombuffer(data, np.uint8), minlength=256)
+        np.testing.assert_array_equal(got, want)
