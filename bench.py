@@ -197,11 +197,13 @@ for f in range(nf):
 vd = b"".join(fr)
 encode_video(vd, vw, vh, quant, True, 4, 16, use_huffman=True,
              backend="numpy")
-t0 = time.perf_counter()
-encode_video(vd, vw, vh, quant, True, 4, 16, use_huffman=True,
-             backend="numpy")
-out["host_video_encode_mpix_s"] = round(
-    vw * vh * nf / (time.perf_counter() - t0) / 1e6, 2)
+vts = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    encode_video(vd, vw, vh, quant, True, 4, 16, use_huffman=True,
+                 backend="numpy")
+    vts.append(time.perf_counter() - t0)
+out["host_video_encode_mpix_s"] = round(vw * vh * nf / min(vts) / 1e6, 2)
 print(json.dumps(out))
 """
         r = subprocess.run([sys.executable, "-c", script], cwd="/root/repo",

@@ -44,8 +44,8 @@ def _batch_encode_fused(imgs, quant, hdr_bits, block_size, use_rle, norm,
     import jax
     import jax.numpy as jnp
 
-    from ..ops.pallas_encode import encode_locals, frontend_lw, \
-        frontend_rows, CHUNK
+    from ..ops.pallas_encode import (encode_locals, frontend_lw,
+                                     frontend_rows, pad_chunk_for)
     from ..ops.pallas_pack import pack_locals_pallas
 
     bsz, h, w = imgs.shape
@@ -78,7 +78,8 @@ def _batch_encode_fused(imgs, quant, hdr_bits, block_size, use_rle, norm,
     flat = jnp.concatenate([gap, recs, pad], axis=2)
     flat = flat.reshape(rows_pad, bsz * (n + n_gap + 1))
     total = flat.shape[1]
-    n_pad2 = -(-total // CHUNK) * CHUNK
+    pc = pad_chunk_for(total)
+    n_pad2 = -(-total // pc) * pc
     if n_pad2 > total:
         flat = jnp.pad(flat, ((0, 0), (0, n_pad2 - total)))
 

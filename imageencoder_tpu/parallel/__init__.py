@@ -6,4 +6,10 @@ from .sharding import (assemble_packed_stream,  # noqa: F401
                        make_sharded_encode_packed,
                        make_sharded_encode_step,
                        make_sharded_huffman_pack)
-from .video_sharding import make_sharded_video_step  # noqa: F401
+from .video_sharding import (assemble_sharded_video_packed,  # noqa: F401
+                             decode_video_sharded,
+                             encode_sharded_video_huffman,
+                             encode_video_sharded,
+                             make_sharded_video_decode,
+                             make_sharded_video_packed,
+                             make_sharded_video_step)

@@ -56,23 +56,26 @@ def build(verbose: bool = False) -> pathlib.Path:
 
 def build_sanitized(kind: str = "thread",
                     verbose: bool = False) -> pathlib.Path:
-    """Build a -fsanitize={thread,address} instrumented runtime.
+    """Build the -fsanitize={thread,address} instrumented driver binary.
 
-    Used by the sanitizer test gate (tests/test_sanitizers.py) to run the
-    OpenMP chunk-parallel packers and the speculative Huffman FSM under
-    TSAN/ASAN — the native concurrency analogue of the reference's
-    Valgrind-driven fix (BitStream.cpp:16-19).  Never loaded by the
-    production loader.
+    Links runtime.cpp with tools/sanitize_drive.cpp into a standalone
+    executable — the sanitizer test gate (tests/test_sanitizers.py) runs
+    it to vet the OpenMP chunk-parallel packers and the speculative
+    Huffman FSM under TSAN/ASAN, the native concurrency analogue of the
+    reference's Valgrind-driven fix (BitStream.cpp:16-19).  (Pure C++:
+    Python under TSAN is ~100x slow and noisy.)
     """
     assert kind in ("thread", "address")
     src = HERE / "runtime.cpp"
-    out = HERE / f"libier_runtime_{kind[0]}san.so"
-    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+    driver = HERE.parent.parent.parent / "tools" / "sanitize_drive.cpp"
+    out = pathlib.Path("/tmp") / f"ier_drive_{kind[0]}san"
+    if (out.exists() and out.stat().st_mtime >= src.stat().st_mtime
+            and out.stat().st_mtime >= driver.stat().st_mtime):
         return out
     cmd = ["g++", "-O1", "-g", "-std=c++17", "-fopenmp",
-           "-ffp-contract=off", f"-fsanitize={kind}", "-shared", "-fPIC",
-           str(src), "-o", str(out)]
-    subprocess.run(cmd, check=True, capture_output=not verbose)
+           "-ffp-contract=off", f"-fsanitize={kind}", str(src), str(driver),
+           "-o", str(out)]
+    subprocess.run(cmd, check=True, capture_output=not verbose, timeout=300)
     return out
 
 

@@ -43,7 +43,20 @@ def _load():
 
         build()  # no-op when the .so is newer than runtime.cpp
     except Exception:
-        pass  # stale/failed build: fall back to an existing .so if any
+        # Build failed (no compiler?).  Only fall back to a pre-existing
+        # .so if its build tag matches THIS host's ISA: the library is
+        # built with -march=native, and CDLL-ing a binary from a newer
+        # host dies with an uncatchable SIGILL instead of the graceful
+        # Python fallback.
+        try:
+            from .build import _host_tag
+
+            tag = so.with_name(so.name + ".buildtag")
+            if (not tag.exists()
+                    or tag.read_text().strip() != _host_tag()):
+                return None
+        except Exception:
+            return None
     if not so.exists():
         return None
     lib = ctypes.CDLL(str(so))

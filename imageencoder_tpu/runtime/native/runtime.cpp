@@ -1146,15 +1146,15 @@ int64_t decode_image_pipelined(
 
     // Interleaved pair: two independent state chains in one loop hide the
     // table walk's dependent-load latency (~1.7x).  Chunk `cb` always runs
-    // into scratch — two contiguous direct chunks would overwrite each
-    // other via the 8-byte blind emits — but from its TRUE entry state
-    // when known, so the stitch still adopts it wholesale.
+    // speculatively from the root into scratch — its predecessor `ca` is
+    // claimed by this very call, so its entry state cannot be known yet
+    // (and two contiguous direct chunks would overwrite each other via
+    // the 8-byte blind emits anyway).
     const auto fsm_chunk_pair = [&](int ca, int cb) {
         const int64_t loa = chunk_lo(ca), hia = chunk_hi(ca);
         const int64_t lob = chunk_lo(cb), hib = chunk_hi(cb);
-        const int stf = stitched.load(std::memory_order_acquire);
-        const bool da = stf >= ca;
-        int32_t sa, sb;
+        const bool da = stitched.load(std::memory_order_acquire) >= ca;
+        int32_t sa, sb = 0;
         uint8_t *opa, *opb;
         if (da) {
             sa = entry_state[ca];
@@ -1165,8 +1165,7 @@ int64_t decode_image_pipelined(
             spec[ca].reset(new uint8_t[(size_t)(hia - loa) * 8 + 8]);
             opa = spec[ca].get();
         }
-        sb = stf >= cb ? entry_state[cb] : 0;
-        spec_entry[cb] = sb;
+        spec_entry[cb] = 0;
         spec[cb].reset(new uint8_t[(size_t)(hib - lob) * 8 + 8]);
         opb = spec[cb].get();
         int64_t ca_cnt = 0, cb_cnt = 0;
@@ -1229,6 +1228,10 @@ int64_t decode_image_pipelined(
         bool progressed = false;
         if (complete) {
             // End-safe tail: reads past the payload end return 0 bits.
+            // Publish progressively so extract workers overlap this walk
+            // (a non-Huffman stream is "complete" from the start and
+            // would otherwise serialize the whole walk before any
+            // extraction).
             BitReader r{pay, fb * 8, walk_pos};
             while (walked < n_blocks) {
                 const uint32_t b = r.get(4);
@@ -1239,6 +1242,8 @@ int64_t decode_image_pipelined(
                 r.pos += (int64_t)b * count;
                 walked++;
                 progressed = true;
+                if ((walked & 2047) == 0)
+                    blocks_ready.store(walked, std::memory_order_release);
             }
             walk_pos = r.pos;
             blocks_ready.store(n_blocks, std::memory_order_release);

@@ -98,7 +98,6 @@ def _locals_from_fields(vals, nbits, lw):
                 acc = (acc << b) | (int(vals[i, j]) & ((1 << b) - 1))
                 bits += b
         out[lw, i] = bits
-        word = acc << ((32 * lw - bits) % (32 * lw) if bits else 0)
         word = acc << (32 * lw - bits) if bits else 0
         for w in range(lw):
             out[w, i] = (word >> (32 * (lw - 1 - w))) & 0xFFFFFFFF

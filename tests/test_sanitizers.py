@@ -21,29 +21,13 @@ sanitizer rigor (the Valgrind fix, BitStream.cpp:16-19).
 
 from __future__ import annotations
 
-import pathlib
 import re
 import shutil
 import subprocess
 
 import pytest
 
-REPO = pathlib.Path(__file__).parent.parent
-SRC = REPO / "imageencoder_tpu" / "runtime" / "native" / "runtime.cpp"
-DRIVER = REPO / "tools" / "sanitize_drive.cpp"
-
-
-def _build(kind: str) -> pathlib.Path:
-    out = pathlib.Path("/tmp") / f"ier_drive_{kind[0]}san"
-    if (out.exists()
-            and out.stat().st_mtime >= SRC.stat().st_mtime
-            and out.stat().st_mtime >= DRIVER.stat().st_mtime):
-        return out
-    cmd = ["g++", "-O1", "-g", "-std=c++17", "-fopenmp",
-           "-ffp-contract=off", f"-fsanitize={kind}", str(SRC), str(DRIVER),
-           "-o", str(out)]
-    subprocess.run(cmd, check=True, capture_output=True, timeout=300)
-    return out
+from imageencoder_tpu.runtime.build import build_sanitized as _build
 
 
 @pytest.mark.skipif(shutil.which("g++") is None, reason="no compiler")
