@@ -392,30 +392,29 @@ static inline uint32_t read_field(const uint8_t* data, int64_t nbytes,
 }
 
 #if defined(__AVX512F__)
-// AVX-512 4x4 exact inverse: independent field reads (fields sit at
-// off + j*b, so the per-field position chain is broken for ILP), the 16
-// f64 accumulators live in two zmm registers, and each coefficient is one
-// broadcast + mul + add pair per half — separate vmulpd/vaddpd, NOT
-// vfmadd, preserving the -ffp-contract=off per-product rounding.  The
-// c-ascending accumulation order and per-lane independent sums make the
-// result BIT-IDENTICAL to the scalar loop (verified: tests pin this path
-// against the numpy chain).
-static inline void idct16_accum_avx512(const int32_t* cf,
-                                       const double* quant,
-                                       const double* wi, __m512d* a0,
-                                       __m512d* a1) {
-    __m512d acc0 = _mm512_setzero_pd(), acc1 = _mm512_setzero_pd();
-    for (int c = 0; c < 16; c++) {
+// AVX-512 exact inverse (K = 16 for 4x4 blocks, 64 for 8x8): independent
+// field reads (fields sit at off + j*b, so the per-field position chain
+// is broken for ILP), the K f64 accumulators live in K/8 zmm registers,
+// and each coefficient is one broadcast + mul + add pair per register —
+// separate vmulpd/vaddpd, NOT vfmadd, preserving the -ffp-contract=off
+// per-product rounding.  The c-ascending accumulation order and per-lane
+// independent sums make the result BIT-IDENTICAL to the scalar loop
+// (verified: tests pin this path against the numpy chain).
+template <int K>
+static inline void idctk_accum_avx512(const int32_t* cf,
+                                      const double* quant,
+                                      const double* wi, __m512d* a) {
+    constexpr int NV = K / 8;
+    for (int v = 0; v < NV; v++) a[v] = _mm512_setzero_pd();
+    for (int c = 0; c < K; c++) {
         if (cf[c] == 0) continue;
         const double y = (double)cf[c] * quant[c];
         const __m512d yv = _mm512_set1_pd(y);
-        const double* wr = wi + (size_t)c * 16;
-        acc0 = _mm512_add_pd(acc0, _mm512_mul_pd(yv, _mm512_loadu_pd(wr)));
-        acc1 = _mm512_add_pd(acc1,
-                             _mm512_mul_pd(yv, _mm512_loadu_pd(wr + 8)));
+        const double* wr = wi + (size_t)c * K;
+        for (int v = 0; v < NV; v++)
+            a[v] = _mm512_add_pd(
+                a[v], _mm512_mul_pd(yv, _mm512_loadu_pd(wr + 8 * v)));
     }
-    *a0 = acc0;
-    *a1 = acc1;
 }
 
 static inline void extract16_fields(const uint8_t* data, int64_t off, int b,
@@ -434,86 +433,98 @@ static inline void extract16_fields(const uint8_t* data, int64_t off, int b,
     }
 }
 
-// AVX-512 4x4 exact forward transform + quantize + zig-zag: the mirror of
-// idct16_accum_avx512 for the encode side.  Accumulation runs in
-// c-ascending order with separate vmulpd/vaddpd (no FMA), then the
-// *scale, /quant, trunc-based round-half-away epilogue element-wise —
-// every per-element operation and its order match the scalar loop, so the
-// coefficients are BIT-IDENTICAL (tests pin both paths).
-static inline void dct16_quant_avx512(const double* x, const double* wf,
-                                      const double* scale,
-                                      const double* quant,
-                                      const int32_t* zz, int32_t* row) {
-    __m512d a0 = _mm512_setzero_pd(), a1 = _mm512_setzero_pd();
-    for (int c = 0; c < 16; c++) {
+// AVX-512 exact forward transform + quantize + zig-zag (K = 16 for 4x4
+// blocks, 64 for 8x8): the mirror of idct16_accum_avx512 for the encode
+// side.  Accumulation runs in c-ascending order with separate
+// vmulpd/vaddpd (no FMA), then the *scale, /quant, trunc-based
+// round-half-away epilogue element-wise — every per-element operation and
+// its order match the scalar loop, so the coefficients are BIT-IDENTICAL
+// (tests pin both paths).
+template <int K>
+static inline void dctk_quant_avx512(const double* x, const double* wf,
+                                     const double* scale,
+                                     const double* quant,
+                                     const int32_t* zz, int32_t* row) {
+    constexpr int NV = K / 8;
+    __m512d a[NV];
+    for (int v = 0; v < NV; v++) a[v] = _mm512_setzero_pd();
+    for (int c = 0; c < K; c++) {
         const __m512d xv = _mm512_set1_pd(x[c]);
-        const double* wr = wf + (size_t)c * 16;
-        a0 = _mm512_add_pd(a0, _mm512_mul_pd(xv, _mm512_loadu_pd(wr)));
-        a1 = _mm512_add_pd(a1, _mm512_mul_pd(xv, _mm512_loadu_pd(wr + 8)));
+        const double* wr = wf + (size_t)c * K;
+        for (int v = 0; v < NV; v++)
+            a[v] = _mm512_add_pd(
+                a[v], _mm512_mul_pd(xv, _mm512_loadu_pd(wr + 8 * v)));
     }
-    const __m512d z0 = _mm512_div_pd(
-        _mm512_mul_pd(a0, _mm512_loadu_pd(scale)), _mm512_loadu_pd(quant));
-    const __m512d z1 = _mm512_div_pd(
-        _mm512_mul_pd(a1, _mm512_loadu_pd(scale + 8)),
-        _mm512_loadu_pd(quant + 8));
-    const __m512d t0 = _mm512_roundscale_pd(z0, _MM_FROUND_TO_ZERO
-                                                    | _MM_FROUND_NO_EXC);
-    const __m512d t1 = _mm512_roundscale_pd(z1, _MM_FROUND_TO_ZERO
-                                                    | _MM_FROUND_NO_EXC);
-    const __m512d d0 = _mm512_sub_pd(z0, t0);
-    const __m512d d1 = _mm512_sub_pd(z1, t1);
     const __m512d half = _mm512_set1_pd(0.5);
     const __m512d nhalf = _mm512_set1_pd(-0.5);
-    const __mmask8 h0 = _mm512_cmp_pd_mask(d0, half, _CMP_GE_OQ)
-                        | _mm512_cmp_pd_mask(d0, nhalf, _CMP_LE_OQ);
-    const __mmask8 h1 = _mm512_cmp_pd_mask(d1, half, _CMP_GE_OQ)
-                        | _mm512_cmp_pd_mask(d1, nhalf, _CMP_LE_OQ);
     const __m512d zero = _mm512_setzero_pd();
     const __m512d one = _mm512_set1_pd(1.0);
     const __m512d mone = _mm512_set1_pd(-1.0);
-    const __m512d inc0 = _mm512_mask_blend_pd(
-        _mm512_cmp_pd_mask(z0, zero, _CMP_GE_OQ), mone, one);
-    const __m512d inc1 = _mm512_mask_blend_pd(
-        _mm512_cmp_pd_mask(z1, zero, _CMP_GE_OQ), mone, one);
-    const __m512d r0 = _mm512_add_pd(t0, _mm512_mask_blend_pd(h0, zero,
-                                                              inc0));
-    const __m512d r1 = _mm512_add_pd(t1, _mm512_mask_blend_pd(h1, zero,
-                                                              inc1));
-    alignas(32) int32_t rm[16];
-    _mm256_store_si256((__m256i*)rm, _mm512_cvttpd_epi32(r0));
-    _mm256_store_si256((__m256i*)(rm + 8), _mm512_cvttpd_epi32(r1));
-    for (int j = 0; j < 16; j++) row[j] = rm[zz[j]];
+    alignas(32) int32_t rm[K];
+    for (int v = 0; v < NV; v++) {
+        const __m512d z = _mm512_div_pd(
+            _mm512_mul_pd(a[v], _mm512_loadu_pd(scale + 8 * v)),
+            _mm512_loadu_pd(quant + 8 * v));
+        const __m512d t = _mm512_roundscale_pd(z, _MM_FROUND_TO_ZERO
+                                                      | _MM_FROUND_NO_EXC);
+        const __m512d d = _mm512_sub_pd(z, t);
+        const __mmask8 hm = _mm512_cmp_pd_mask(d, half, _CMP_GE_OQ)
+                            | _mm512_cmp_pd_mask(d, nhalf, _CMP_LE_OQ);
+        const __m512d inc = _mm512_mask_blend_pd(
+            _mm512_cmp_pd_mask(z, zero, _CMP_GE_OQ), mone, one);
+        const __m512d r = _mm512_add_pd(t, _mm512_mask_blend_pd(hm, zero,
+                                                                inc));
+        _mm256_store_si256((__m256i*)(rm + 8 * v), _mm512_cvttpd_epi32(r));
+    }
+    for (int j = 0; j < K; j++) row[j] = rm[zz[j]];
 }
 
-static inline void store16_px(__m512d acc0, __m512d acc1,
-                              const uint8_t* pred_base, int64_t w,
-                              uint8_t* base) {
+template <int BS>
+static inline void storek_px(__m512d* a, const uint8_t* pred_base,
+                             int64_t w, uint8_t* base) {
+    constexpr int K = BS * BS;
+    constexpr int NV = K / 8;
     const __m512d lo = _mm512_setzero_pd();
     const __m512d hi = _mm512_set1_pd(255.0);
+    const __m512d c128 = _mm512_set1_pd(128.0);
+    alignas(64) double pr[K];
     if (pred_base) {
         // P-frame recon: clamp(pred + (IDCT + 128)) in f64, matching the
         // scalar order (acc + 128.0, then + pred, then clamp).
-        alignas(64) double pr[16];
-        for (int r = 0; r < 4; r++)
-            for (int c = 0; c < 4; c++)
-                pr[r * 4 + c] = (double)pred_base[(int64_t)r * w + c];
-        acc0 = _mm512_add_pd(_mm512_add_pd(acc0, _mm512_set1_pd(128.0)),
-                             _mm512_load_pd(pr));
-        acc1 = _mm512_add_pd(_mm512_add_pd(acc1, _mm512_set1_pd(128.0)),
-                             _mm512_load_pd(pr + 8));
-    } else {
-        acc0 = _mm512_add_pd(acc0, _mm512_set1_pd(128.0));
-        acc1 = _mm512_add_pd(acc1, _mm512_set1_pd(128.0));
+        for (int r = 0; r < BS; r++)
+            for (int c = 0; c < BS; c++)
+                pr[r * BS + c] = (double)pred_base[(int64_t)r * w + c];
     }
-    acc0 = _mm512_min_pd(_mm512_max_pd(acc0, lo), hi);
-    acc1 = _mm512_min_pd(_mm512_max_pd(acc1, lo), hi);
-    alignas(32) int32_t px[16];
-    _mm256_store_si256((__m256i*)px, _mm512_cvttpd_epi32(acc0));
-    _mm256_store_si256((__m256i*)(px + 8), _mm512_cvttpd_epi32(acc1));
-    uint8_t tmp[16];
-    for (int t = 0; t < 16; t++) tmp[t] = (uint8_t)px[t];
-    for (int r = 0; r < 4; r++)
-        std::memcpy(base + (int64_t)r * w, tmp + r * 4, 4);
+    alignas(32) int32_t px[K];
+    for (int v = 0; v < NV; v++) {
+        __m512d acc = _mm512_add_pd(a[v], c128);
+        if (pred_base)
+            acc = _mm512_add_pd(acc, _mm512_load_pd(pr + 8 * v));
+        acc = _mm512_min_pd(_mm512_max_pd(acc, lo), hi);
+        _mm256_store_si256((__m256i*)(px + 8 * v),
+                           _mm512_cvttpd_epi32(acc));
+    }
+    uint8_t tmp[K];
+    for (int t = 0; t < K; t++) tmp[t] = (uint8_t)px[t];
+    for (int r = 0; r < BS; r++)
+        std::memcpy(base + (int64_t)r * w, tmp + r * BS, BS);
+}
+
+// One fused extract + exact-IDCT + (pred add +) clamp + store block, for
+// the two supported block sizes.
+template <int BS>
+static inline void decode_block_avx512(const uint8_t* data, int64_t off,
+                                       int b, int cnt, const int32_t* zz,
+                                       const double* quant,
+                                       const double* wi, int64_t w,
+                                       const uint8_t* pred_base,
+                                       uint8_t* base) {
+    constexpr int K = BS * BS;
+    int32_t cf[K] = {0};
+    if (b > 0) extract16_fields(data, off, b, cnt, zz, cf);
+    __m512d a[K / 8];
+    idctk_accum_avx512<K>(cf, quant, wi, a);
+    storek_px<BS>(a, pred_base, w, base);
 }
 #endif  // __AVX512F__
 
@@ -528,13 +539,18 @@ static inline void decode_block_exact_one(
     const int64_t px0 = (n / wb) * (int64_t)block_size * w
                         + (n % wb) * block_size;
 #if defined(__AVX512F__)
-    if (k == 16 && fast) {
-        int32_t cf[16] = {0};
-        extract16_fields(data, off, b, cnt, zz, cf);
-        __m512d a0, a1;
-        idct16_accum_avx512(cf, quant, wi, &a0, &a1);
-        store16_px(a0, a1, pred ? pred + px0 : nullptr, w, out + px0);
-        return;
+    if (fast || b == 0) {
+        const uint8_t* pb = pred ? pred + px0 : nullptr;
+        if (k == 16) {
+            decode_block_avx512<4>(data, off, b, cnt, zz, quant, wi, w,
+                                   pb, out + px0);
+            return;
+        }
+        if (k == 64) {
+            decode_block_avx512<8>(data, off, b, cnt, zz, quant, wi, w,
+                                   pb, out + px0);
+            return;
+        }
     }
 #endif
     int32_t cf[256];
@@ -1795,10 +1811,13 @@ int64_t dct_quantize_exact(const uint8_t* blocks, int64_t n_blocks, int k,
         const uint8_t* x = blocks + n * k;
         int32_t* row = out + n * k;
 #if defined(__AVX512F__)
-        if (k == 16 && zz) {
-            alignas(64) double xd[16];
-            for (int c = 0; c < 16; c++) xd[c] = (double)x[c] - 128.0;
-            dct16_quant_avx512(xd, w, scale, quant, zz, row);
+        if ((k == 16 || k == 64) && zz) {
+            alignas(64) double xd[64];
+            for (int c = 0; c < k; c++) xd[c] = (double)x[c] - 128.0;
+            if (k == 16)
+                dctk_quant_avx512<16>(xd, w, scale, quant, zz, row);
+            else
+                dctk_quant_avx512<64>(xd, w, scale, quant, zz, row);
             TSAN_HB_RELEASE();
             continue;
         }
@@ -1843,10 +1862,13 @@ int64_t dct_quantize_exact_f64(const double* blocks, int64_t n_blocks,
         const double* x = blocks + n * k;
         int32_t* row = out + n * k;
 #if defined(__AVX512F__)
-        if (k == 16 && zz) {
-            alignas(64) double xd[16];
-            for (int c = 0; c < 16; c++) xd[c] = x[c] - 128.0;
-            dct16_quant_avx512(xd, w, scale, quant, zz, row);
+        if ((k == 16 || k == 64) && zz) {
+            alignas(64) double xd[64];
+            for (int c = 0; c < k; c++) xd[c] = x[c] - 128.0;
+            if (k == 16)
+                dctk_quant_avx512<16>(xd, w, scale, quant, zz, row);
+            else
+                dctk_quant_avx512<64>(xd, w, scale, quant, zz, row);
             TSAN_HB_RELEASE();
             continue;
         }
@@ -1900,10 +1922,19 @@ int64_t idct_recon_exact(const int32_t* czz, int64_t n_blocks,
         if (k == 16) {
             int32_t cf16[16];
             for (int j = 0; j < 16; j++) cf16[zz[j]] = src[j];
-            __m512d a0, a1;
-            idct16_accum_avx512(cf16, quant, wi, &a0, &a1);
+            __m512d a[2];
+            idctk_accum_avx512<16>(cf16, quant, wi, a);
             const int64_t px0 = (n / wb) * 4 * w + (n % wb) * 4;
-            store16_px(a0, a1, pred + px0, w, out + px0);
+            storek_px<4>(a, pred + px0, w, out + px0);
+            continue;
+        }
+        if (k == 64) {
+            int32_t cf64[64];
+            for (int j = 0; j < 64; j++) cf64[zz[j]] = src[j];
+            __m512d a[8];
+            idctk_accum_avx512<64>(cf64, quant, wi, a);
+            const int64_t px0 = (n / wb) * 8 * w + (n % wb) * 8;
+            storek_px<8>(a, pred + px0, w, out + px0);
             continue;
         }
 #endif
@@ -2070,7 +2101,9 @@ int64_t encode_frame_pack(const uint8_t* cur, const uint8_t* pred,
             int32_t* row = czz.data() + (size_t)nb * k;
 #if defined(__AVX512F__)
             if (k == 16) {
-                dct16_quant_avx512(x, wf, scale, quant, zz, row);
+                dctk_quant_avx512<16>(x, wf, scale, quant, zz, row);
+            } else if (k == 64) {
+                dctk_quant_avx512<64>(x, wf, scale, quant, zz, row);
             } else
 #endif
             {
