@@ -507,20 +507,30 @@ def parse_video_stream(data: bytes, block_size: int = BLOCK_SIZE):
 
     parsed = []  # per frame: (mv or None, start, (offs, dbits, counts))
     pos = reader.position
+    mv_reader = None
+    try:
+        from ..runtime.native import read_signed_fields_native
+        mv_reader = read_signed_fields_native
+    except Exception:
+        pass
     for f in range(params.frame_count):
         if f % gop == 0:
             mv = None
         else:
-            # Fixed-width contiguous fields: unpack just their byte range.
             nb = 2 * n_macro * mb
-            b0 = pos // 8
-            local = np.unpackbits(np.frombuffer(
-                payload[b0:(pos + nb + 7) // 8], dtype=np.uint8))
-            offs = (pos - b0 * 8) + np.arange(2 * n_macro,
-                                              dtype=np.int64) * mb
-            raw = bitpack.read_fields(local, offs,
-                                      np.full(2 * n_macro, mb, dtype=np.int64))
-            mv = shift_signed(raw, mb).reshape(n_macro, 2)
+            if mv_reader is not None:
+                mv = mv_reader(payload, pos, 2 * n_macro,
+                               mb).reshape(n_macro, 2)
+            else:
+                # Fixed-width contiguous fields: unpack their byte range.
+                b0 = pos // 8
+                local = np.unpackbits(np.frombuffer(
+                    payload[b0:(pos + nb + 7) // 8], dtype=np.uint8))
+                offs = (pos - b0 * 8) + np.arange(2 * n_macro,
+                                                  dtype=np.int64) * mb
+                raw = bitpack.read_fields(
+                    local, offs, np.full(2 * n_macro, mb, dtype=np.int64))
+                mv = shift_signed(raw, mb).reshape(n_macro, 2)
             pos = pos + nb
         start = pos
         walk = walk_block_offsets(None, pos, n_micro, use_rle,
@@ -528,6 +538,21 @@ def parse_video_stream(data: bytes, block_size: int = BLOCK_SIZE):
         pos = walk[3]
         parsed.append((mv, start, walk[:3]))
     return payload, quant, use_rle, params, width, height, parsed
+
+
+
+def _assemble_yuv420(frames, width: int, height: int) -> bytes:
+    """Y planes + 0x80 UV fill into ONE preallocated buffer (single copy;
+    the per-frame tobytes + b"".join form copies the 1.5*W*H*F output
+    twice more)."""
+    y_size = width * height
+    fs = y_size + y_size // 2
+    out = np.empty(len(frames) * fs, np.uint8)
+    ov = out.reshape(len(frames), fs)
+    ov[:, y_size:] = UV_FILL
+    for i, fr in enumerate(frames):
+        ov[i, :y_size] = np.asarray(fr).reshape(-1)
+    return out.tobytes()
 
 
 def decode_video(data: bytes, motioncomp: bool = True,
@@ -564,11 +589,7 @@ def decode_video(data: bytes, motioncomp: bool = True,
             from ..runtime.native import warn_fallback
             warn_fallback("decode_video_device", e)
         else:
-            out = []
-            for frame in frames_u8:
-                out.append(frame.reshape(-1))
-                out.append(uv)
-            return (b"".join(a.tobytes() for a in out), params,
+            return (_assemble_yuv420(frames_u8, width, height), params,
                     (width, height))
 
     if (backend == "fast" and params.frame_count > 0
@@ -581,11 +602,7 @@ def decode_video(data: bytes, motioncomp: bool = True,
             from ..runtime.native import warn_fallback
             warn_fallback("decode_video_fast", e)
         else:
-            out = []
-            for frame in frames_u8:
-                out.append(frame.reshape(-1))
-                out.append(uv)
-            return (b"".join(a.tobytes() for a in out), params,
+            return (_assemble_yuv420(frames_u8, width, height), params,
                     (width, height))
 
     def decode_frame(f, ref):
@@ -626,12 +643,9 @@ def decode_video(data: bytes, motioncomp: bool = True,
             gop_frames.append(decode_gop(g0))
             Logger.progress(i + 1, len(gop_starts))
 
-    out = []
-    for frames_out in gop_frames:
-        for frame in frames_out:
-            out.append(frame.reshape(-1))
-            out.append(uv)
-    return b"".join(a.tobytes() for a in out), params, (width, height)
+    all_frames = [fr for g in gop_frames for fr in g]
+    return (_assemble_yuv420(all_frames, width, height), params,
+            (width, height))
 
 
 @dataclass

@@ -82,6 +82,10 @@ def _register(lib) -> None:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong]
     lib.huffman_fsm_decode_head.restype = ctypes.c_longlong
     lib.huffman_fsm_decode_head.argtypes = lib.huffman_fsm_decode.argtypes
+    lib.read_signed_fields.restype = ctypes.c_longlong
+    lib.read_signed_fields.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_longlong, ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
     lib.byte_histogram.restype = ctypes.c_longlong
     lib.byte_histogram.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
@@ -267,6 +271,23 @@ def huffman_fsm_decode_native(data: bytes, start_bit: int, entries) -> bytes:
     if n < 0:
         raise ValueError("native huffman decode failed")
     return out[:n].tobytes()
+
+
+def read_signed_fields_native(data: bytes, start_bit: int, n: int,
+                              width: int) -> np.ndarray:
+    """n consecutive width-bit sign-extended fields (int32 [n])."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("native runtime not built")
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(n, np.int32)
+    rc = lib.read_signed_fields(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        int(start_bit), int(n), int(width),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc < 0:
+        raise ValueError("native read_signed_fields failed")
+    return out
 
 
 def byte_histogram_native(data: bytes) -> np.ndarray:

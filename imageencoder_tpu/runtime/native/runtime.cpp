@@ -966,6 +966,35 @@ int64_t huffman_fsm_decode_head(const uint8_t* data, int64_t nbytes,
     return n_out;
 }
 
+// Read n consecutive fixed-width signed fields starting at start_bit
+// (the motion-vector spans of a P-frame: 2*Nmb fields of MVEC_BITS each,
+// Block.cpp:416-423).  One unaligned big-endian load per field; reads
+// past the end yield zero bits (reference semantics).
+int64_t read_signed_fields(const uint8_t* data, int64_t nbytes,
+                           int64_t start_bit, int64_t n, int width,
+                           int32_t* out) {
+    if (width <= 0 || width > 15) return -1;
+    const uint32_t sign_bit = 1u << (width - 1);
+    const uint32_t ext = ~0u << width;
+    const int64_t nbits_total = nbytes * 8;
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t pos = start_bit + i * width;
+        uint32_t v;
+        if ((pos >> 3) + 9 <= nbytes) {
+            uint64_t wd;
+            std::memcpy(&wd, data + (pos >> 3), 8);
+            wd = __builtin_bswap64(wd) << (pos & 7);
+            v = (uint32_t)(wd >> (64 - width));
+        } else {
+            BitReader r{data, nbits_total, pos};
+            v = r.get(width);
+        }
+        if (v & sign_bit) v |= ext;
+        out[i] = (int32_t)v;
+    }
+    return 0;
+}
+
 // Parallel byte histogram (np.bincount on u8 measured 8 ms on a 1.8 MB
 // stream — 80% of host Huffman encode; per-thread counters make it
 // ~0.3 ms).  Serial analogue: Huffman.cpp:236-243.
