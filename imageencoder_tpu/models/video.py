@@ -470,16 +470,9 @@ def _decode_video_fast(parsed, packed, quant, gop, width, height, norm,
     return [fr for g in gop_frames for fr in g]
 
 
-def parse_video_stream(data: bytes, block_size: int = BLOCK_SIZE):
-    """Host front half of video decode: Huffman stage, header parse and
-    the serial pass-1 record-layout walk (the stream's one true
-    dependency chain, SURVEY §3.2).
-
-    Returns (payload, quant, use_rle, params, width, height, parsed)
-    where parsed[f] = (mvec or None for I-frames, record start bit,
-    (offsets, data_bits, counts)).  Shared by decode_video and the
-    GOP-sharded decoder (parallel/video_sharding.decode_video_sharded).
-    """
+def _parse_video_header(data: bytes, block_size: int = BLOCK_SIZE):
+    """Huffman stage + header parse.  Returns (payload, quant, use_rle,
+    params, width, height, first_record_bit)."""
     if not data:
         from ..utils.exceptions import StreamFormatError
 
@@ -500,13 +493,19 @@ def parse_video_stream(data: bytes, block_size: int = BLOCK_SIZE):
 
     quant, use_rle, width, height = read_image_header(reader, block_size)
     params = read_video_params(reader)
+    return payload, quant, use_rle, params, width, height, reader.position
+
+
+def _iter_parsed_frames(payload, params, use_rle, width, height, pos,
+                        block_size: int = BLOCK_SIZE):
+    """Pass-1 record-layout walk, one frame at a time: yields
+    (mv or None, start bit, (offsets, data_bits, counts)).  The walk is
+    the stream's one true dependency chain (SURVEY §3.2); yielding per
+    frame lets decode consumers overlap it."""
     mb = mvec_bits(params.merange)
     n_micro = (width // block_size) * (height // block_size)
     n_macro = (width // MACRO) * (height // MACRO)
     gop = max(1, params.gop)
-
-    parsed = []  # per frame: (mv or None, start, (offs, dbits, counts))
-    pos = reader.position
     mv_reader = None
     try:
         from ..runtime.native import read_signed_fields_native
@@ -536,9 +535,24 @@ def parse_video_stream(data: bytes, block_size: int = BLOCK_SIZE):
         walk = walk_block_offsets(None, pos, n_micro, use_rle,
                                   block_size=block_size, packed=payload)
         pos = walk[3]
-        parsed.append((mv, start, walk[:3]))
-    return payload, quant, use_rle, params, width, height, parsed
+        yield (mv, start, walk[:3])
 
+
+def parse_video_stream(data: bytes, block_size: int = BLOCK_SIZE):
+    """Host front half of video decode: Huffman stage, header parse and
+    the serial pass-1 record-layout walk (the stream's one true
+    dependency chain, SURVEY §3.2).
+
+    Returns (payload, quant, use_rle, params, width, height, parsed)
+    where parsed[f] = (mvec or None for I-frames, record start bit,
+    (offsets, data_bits, counts)).  Shared by decode_video and the
+    GOP-sharded decoder (parallel/video_sharding.decode_video_sharded).
+    """
+    (payload, quant, use_rle, params, width, height,
+     pos) = _parse_video_header(data, block_size)
+    parsed = list(_iter_parsed_frames(payload, params, use_rle, width,
+                                      height, pos, block_size))
+    return payload, quant, use_rle, params, width, height, parsed
 
 
 def _assemble_yuv420(frames, width: int, height: int) -> bytes:
@@ -565,6 +579,10 @@ def decode_video(data: bytes, motioncomp: bool = True,
     starts with an I-frame) and the heavy stages — native extraction and
     the IDCT matmuls — release the GIL.  Output is identical to serial.
     """
+    # (A walk||decode overlapped pipeline was tried in round 4 and LOST on
+    # this 4-core box — the decode jobs' internal OpenMP teams oversubscribe
+    # against the walker thread, same lesson as the image decode pipeline —
+    # so the staged fast path below stays the default.)
     (payload, quant, use_rle, params, width, height,
      parsed) = parse_video_stream(data, block_size)
     n_micro = (width // block_size) * (height // block_size)
