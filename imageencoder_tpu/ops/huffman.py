@@ -493,6 +493,21 @@ def huffman_decode(data: bytes) -> bytes:
     entries, dict_end = parse_dict_bytes(data)
     if not entries:
         raise ValueError("huffman_decode called on a stream without a dict")
+    # Reject non-prefix dictionaries (Kraft sum > 1).  The reference
+    # ENCODER can emit these: its dict stores code lengths in a 4-bit
+    # field but builds unlimited-depth trees, so depths >= 16 silently
+    # wrap (e.g. 17 -> "1"); its own decoder crashes on such streams
+    # (docs/PARITY.md).  Decoding one would only produce garbage — fail
+    # loudly instead.  (Our encoder's canonical codes are 15-bit
+    # length-limited and can never trip this.)
+    kraft_num = sum(1 << (16 - max(ln, 0)) if ln <= 16 else 0
+                    for _, _, ln in entries)
+    if kraft_num > (1 << 16):
+        from ..utils.exceptions import StreamFormatError
+
+        raise StreamFormatError(
+            "invalid Huffman dictionary: non-prefix code lengths (the "
+            "reference encoder's 4-bit length-field wrap produces these)")
 
     try:
         from ..runtime.native import huffman_fsm_decode_native

@@ -200,3 +200,36 @@ def test_native_byte_histogram_matches_bincount():
         got = byte_histogram_native(data)
         want = np.bincount(np.frombuffer(data, np.uint8), minlength=256)
         np.testing.assert_array_equal(got, want)
+
+
+def test_decode_rejects_non_prefix_dict():
+    """The reference encoder can emit dicts whose true code lengths >= 16
+    wrapped in its 4-bit field (non-prefix; its own decoder crashes on
+    them — docs/PARITY.md).  Ours must fail loudly, not decode garbage."""
+    import pytest
+
+    from imageencoder_tpu.ops.bitpack import BitWriter
+    from imageencoder_tpu.ops.huffman import huffman_decode
+    from imageencoder_tpu.utils.exceptions import StreamFormatError
+
+    w = BitWriter()
+    # dict: group of two "1-bit" codes (wrapped 17s) + a 7-bit group —
+    # Kraft sum 2*(1/2) + 3*(1/128) > 1.
+    w.put_bit(1)           # huffman flag / first group has-items
+    w.put(7, 2)            # seq len
+    w.put(4, 1)            # bit len 1
+    for sym, code in ((0, 0), (1, 1)):
+        w.put(8, sym)
+        w.put(1, code)
+    w.put_bit(1)           # second group
+    w.put(7, 3)
+    w.put(4, 7)
+    for sym, code in ((2, 1), (3, 2), (4, 3)):
+        w.put(8, sym)
+        w.put(7, code)
+    w.put_bit(0)           # stop
+    w.put(32, 0xDEADBEEF)  # some payload bits
+    data = w.getvalue()
+    assert data[0] & 0x80
+    with pytest.raises(StreamFormatError):
+        huffman_decode(data)
