@@ -167,8 +167,12 @@ def main() -> int:
             w = 4 * int(rng.integers(1, 96))
             img = _content(rng, h, w, kind)
             ctx = f"img case={case} {h}x{w} rle={use_rle} {kind} {qname}"
-            ref_enc = ref.encode_image(img, qfile, use_rle,
-                                       name=f"s{case}")
+            try:
+                ref_enc = ref.encode_image(img, qfile, use_rle,
+                                           name=f"s{case}")
+            except (RuntimeError, FileNotFoundError):
+                n_skip += 1  # reference crashed without output
+                continue
             our_enc = encode_image(img, quant, use_rle, use_huffman=True,
                                    backend="numpy")
             # our stream always round-trips through our own decoder
@@ -232,9 +236,11 @@ def main() -> int:
             try:
                 ref_enc = ref.encode_video(data, w, h, qfile, use_rle, gop,
                                            merange, name=f"v{case}")
-            except RuntimeError:
+            except (RuntimeError, FileNotFoundError):
                 # The reference ABORTS (glibc heap check) on its Huffman
-                # fallback for incompressible video (documented bug).
+                # fallback for incompressible video (documented bug), and
+                # on some content segfaults BEFORE writing any output
+                # (FileNotFoundError from the oracle).
                 n_skip += 1
                 continue
             if not _ref_dict_is_valid(ref_enc):
