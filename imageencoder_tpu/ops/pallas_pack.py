@@ -305,15 +305,28 @@ def _pack_locals_call(n_chunks: int, lw: int, rows_pad: int, interpret: bool,
                                    axis=0)
             return jnp.where(s > 0, (x >> s) | (prev << ((32 - s) % 32)), x)
 
+        def vpad(arr, extra, cols):
+            # Mosaic rejects zero-sized vectors, so skip no-growth concats
+            # (large-lw configs plateau the cap schedule).
+            if extra == 0:
+                return arr
+            return jnp.concatenate(
+                [arr, jnp.zeros((extra, cols), u32)], axis=0)
+
+        def hpad(arr, rows, extra):
+            if extra == 0:
+                return arr
+            return jnp.concatenate(
+                [arr, jnp.zeros((rows, extra), u32)], axis=1)
+
         while m > 128:
             half = m // 2
             wn = caps[level]
             a, b = buf[:, :half], buf[:, half:]
             la, lb = lens[:, :half], lens[:, half:]
-            x = jnp.concatenate([b, jnp.zeros((wn - w, half), u32)], axis=0)
-            x = shift_col(x, half, la >> 5, (la & 31).astype(u32), w)
-            buf = jnp.concatenate(
-                [a, jnp.zeros((wn - w, half), u32)], axis=0) | x
+            x = shift_col(vpad(b, wn - w, half), half, la >> 5,
+                          (la & 31).astype(u32), w)
+            buf = vpad(a, wn - w, half) | x
             lens = la + lb
             w = wn
             m = half
@@ -338,10 +351,9 @@ def _pack_locals_call(n_chunks: int, lw: int, rows_pad: int, interpret: bool,
             wn = caps[level]
             a, b = buf[:half], buf[half:]
             la, lb = lens[:half], lens[half:]
-            x = jnp.concatenate([b, jnp.zeros((half, wn - w), u32)], axis=1)
-            x = shift_row(x, half, la >> 5, (la & 31).astype(u32), w)
-            buf = jnp.concatenate(
-                [a, jnp.zeros((half, wn - w), u32)], axis=1) | x
+            x = shift_row(hpad(b, half, wn - w), half, la >> 5,
+                          (la & 31).astype(u32), w)
+            buf = hpad(a, half, wn - w) | x
             lens = la + lb
             w = wn
             m = half
@@ -352,10 +364,9 @@ def _pack_locals_call(n_chunks: int, lw: int, rows_pad: int, interpret: bool,
             wn = caps[level]
             bf = pltpu.roll(buf, 8 - half, 0)
             lbf = pltpu.roll(lens, 8 - half, 0)
-            x = jnp.concatenate([bf, jnp.zeros((8, wn - w), u32)], axis=1)
-            x = shift_row(x, 8, lens >> 5, (lens & 31).astype(u32), w)
-            buf = jnp.concatenate(
-                [buf, jnp.zeros((8, wn - w), u32)], axis=1) | x
+            x = shift_row(hpad(bf, 8, wn - w), 8, lens >> 5,
+                          (lens & 31).astype(u32), w)
+            buf = hpad(buf, 8, wn - w) | x
             lens = lens + lbf
             w = wn
             m = half
