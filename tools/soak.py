@@ -44,7 +44,12 @@ def _inner(stream: bytes) -> bytes:
     return np.packbits(bits[1:]).tobytes()
 
 
-def _image_stream_bits(inner: bytes, block_size: int = 4) -> int:
+def _image_layout(inner: bytes, block_size: int = 4):
+    """Parse an image inner payload: (w, h, per-block record END bits, end).
+
+    Block record i spans [end[i-1], end[i]) — record ends double as the
+    next record's header start, so `ends` localizes any stream diff to
+    the 4x4 block(s) it affects."""
     from imageencoder_tpu.models.headers import read_image_header
     from imageencoder_tpu.models.image import walk_block_offsets
     from imageencoder_tpu.ops import bitpack
@@ -54,8 +59,11 @@ def _image_stream_bits(inner: bytes, block_size: int = 4) -> int:
     r = BitReader(bits, 0)
     quant, use_rle, w, h = read_image_header(r, block_size)
     n_blocks = (w // block_size) * (h // block_size)
-    *_, end = walk_block_offsets(bits, r.position, n_blocks, use_rle)
-    return int(end)
+    offs, dbits, counts, end = walk_block_offsets(bits, r.position,
+                                                  n_blocks, use_rle)
+    ends = np.asarray(offs, np.int64) + (np.asarray(dbits, np.int64)
+                                         * np.asarray(counts, np.int64))
+    return w, h, ends, int(end)
 
 
 def _video_stream_bits(inner: bytes) -> int:
@@ -104,27 +112,21 @@ def _assert_inner_match(ref_enc, our_enc, end_bits, ctx):
 def _ref_dict_is_valid(stream: bytes) -> bool:
     """Detect the reference's 4-bit code-length WRAP (round-4 soak find):
     a skewed histogram gives true Huffman depths >= 16, which the dict's
-    4-bit value-bit-len field wraps (17 -> 1), producing a non-prefix dict
-    the reference's own decoder crashes on.  Kraft sum > 1 identifies it."""
+    4-bit value-bit-len field wraps (17 -> 1, 16 -> 0), producing a
+    non-prefix dict the reference's own decoder crashes on.  Variants
+    seen: two 1-bit codes beside 7-9-bit ones (Kraft > 1) and a 2-symbol
+    dict with both lengths wrapped to 0 (Kraft == 1) — so a Kraft bound
+    alone is insufficient; use our strict parser's prefix validation."""
     if not stream[0] >> 7:
         return True  # fallback form, no dict
-    from fractions import Fraction
+    from imageencoder_tpu.ops.huffman import huffman_decode
+    from imageencoder_tpu.utils.exceptions import StreamFormatError
 
-    from imageencoder_tpu.ops.bitpack import BitReader
-
-    r = BitReader(stream[:65536])
-    kraft = Fraction(0)
     try:
-        while r.get_bit():
-            seq = r.get(7)
-            bl = r.get(4)
-            for _ in range(seq):
-                r.get(8)
-                r.get(bl)
-                kraft += Fraction(1, 2 ** max(bl, 1))
-    except Exception:
+        huffman_decode(stream)
+    except StreamFormatError:
         return False
-    return kraft <= 1
+    return True
 
 
 def _content(rng, h, w, kind):
@@ -184,14 +186,28 @@ def main() -> int:
                 # unreadable even by its own decoder.  Nothing to compare.
                 n_skip += 1
                 continue
-            _assert_inner_match(ref_enc, our_enc,
-                                _image_stream_bits(_inner(our_enc)), ctx)
+            _, _, ends, end_bits = _image_layout(_inner(our_enc))
+            _assert_inner_match(ref_enc, our_enc, end_bits, ctx)
             refdec = ref.decode_image(ref_enc, w, h, qfile, use_rle,
                                       name=f"s{case}")
-            assert np.array_equal(mine, refdec), ctx
-            # cross: our decoder on the reference stream
+            # cross: our decoder on the reference stream — decoder parity
+            # holds exactly on identical input bits
             ours2 = decode_image(ref_enc, backend="numpy")
             assert np.array_equal(ours2, refdec), ctx + " cross"
+            pixok = np.ones((h, w), bool)
+            if not ref_enc[0] >> 7:
+                # Fallback form: the reference's heap-noise tail (see
+                # _assert_inner_match) can mangle the bits of trailing
+                # block records in ITS stream, which both decoders then
+                # faithfully decode to different pixels than ours (soak
+                # find, case s2: 248x8 gradient — last byte flipped).
+                # Exclude blocks whose records cross the guard boundary.
+                guard = (len(ref_enc) - 2) * 8 - 1
+                bw = w // 4
+                for bi in np.nonzero(ends > guard)[0]:
+                    r0, c0 = (int(bi) // bw) * 4, (int(bi) % bw) * 4
+                    pixok[r0:r0 + 4, c0:c0 + 4] = False
+            assert np.array_equal(mine[pixok], refdec[pixok]), ctx
             n_img += 1
         else:
             w = 16 * int(rng.integers(1, 10))
