@@ -233,3 +233,29 @@ def test_decode_rejects_non_prefix_dict():
     assert data[0] & 0x80
     with pytest.raises(StreamFormatError):
         huffman_decode(data)
+
+
+def test_decode_rejects_zero_length_code_dict():
+    """Round-4 soak find: the reference's 4-bit length wrap also hits
+    16 -> 0, emitting a 2-symbol dict with both code lengths ZERO and
+    Kraft sum exactly 1 (112x96 rle=1 video, docs/PARITY.md).  A
+    zero-length code can never advance the bit cursor; ours must reject
+    the dict rather than hang or decode garbage."""
+    import pytest
+
+    from imageencoder_tpu.ops.bitpack import BitWriter
+    from imageencoder_tpu.ops.huffman import huffman_decode
+    from imageencoder_tpu.utils.exceptions import StreamFormatError
+
+    w = BitWriter()
+    w.put_bit(1)           # huffman flag / first group has-items
+    w.put(7, 2)            # seq len
+    w.put(4, 0)            # bit len 0 (wrapped 16)
+    for sym in (230, 237):
+        w.put(8, sym)      # zero code bits follow
+    w.put_bit(0)           # stop
+    w.put(32, 0xDEADBEEF)  # some payload bits
+    data = w.getvalue()
+    assert data[0] & 0x80
+    with pytest.raises(StreamFormatError):
+        huffman_decode(data)
