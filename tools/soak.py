@@ -129,6 +129,26 @@ def _ref_dict_is_valid(stream: bytes) -> bool:
     return True
 
 
+def _ref_inner_header_matches(inner: bytes, w: int, h: int) -> bool:
+    """Second reference dict-serialization failure mode (round-4 soak
+    find): on deep-tree histograms it can emit a PREFIX-VALID but
+    TRUNCATED dict (seen: 2 one-bit codes for a 214-symbol rle=0 image
+    stream) whose payload was sized/coded with the real codes — the
+    stream is unreadable by any decoder (its own aborts, rc 134).  The
+    strict dict parse can't catch that, but the decoded inner's image
+    header won't reproduce the known dimensions."""
+    from imageencoder_tpu.models.headers import read_image_header
+    from imageencoder_tpu.ops import bitpack
+    from imageencoder_tpu.ops.bitpack import BitReader
+
+    try:
+        r = BitReader(bitpack.to_bits(inner[:4096]), 0)
+        quant, use_rle, wi, hi = read_image_header(r, 4)
+        return (wi, hi) == (w, h)
+    except Exception:
+        return False
+
+
 def _content(rng, h, w, kind):
     if kind == "noise":
         return rng.integers(0, 256, (h, w), dtype=np.uint8)
@@ -185,6 +205,9 @@ def main() -> int:
                 # code lengths >= 16 in the 4-bit field; the stream is
                 # unreadable even by its own decoder.  Nothing to compare.
                 n_skip += 1
+                continue
+            if not _ref_inner_header_matches(_inner(ref_enc), w, h):
+                n_skip += 1  # reference truncated-dict bug, see above
                 continue
             _, _, ends, end_bits = _image_layout(_inner(our_enc))
             _assert_inner_match(ref_enc, our_enc, end_bits, ctx)
@@ -261,6 +284,9 @@ def main() -> int:
                 continue
             if not _ref_dict_is_valid(ref_enc):
                 n_skip += 1  # reference code-length-wrap bug, see above
+                continue
+            if not _ref_inner_header_matches(_inner(ref_enc), w, h):
+                n_skip += 1  # reference truncated-dict bug, see above
                 continue
             _assert_inner_match(ref_enc, our_enc,
                                 _video_stream_bits(_inner(our_enc)), ctx)
