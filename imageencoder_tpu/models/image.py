@@ -222,19 +222,18 @@ def walk_block_offsets(bits: np.ndarray | None, start_bit: int,
     return offs, dbits, counts, pos
 
 
-def decode_blocks(bits: np.ndarray | None, start_bit: int, n_blocks: int,
-                  quant: QuantMatrix, use_rle: bool, norm: str = "reference",
-                  backend: str = "numpy", block_size: int = BLOCK_SIZE,
-                  residual: bool = False, packed: bytes | None = None):
-    """Parse + inverse-transform all blocks. Returns ([N,B,B] u8, end_bit).
+def extract_block_coeffs(bits: np.ndarray | None, start_bit: int,
+                         n_blocks: int, use_rle: bool,
+                         block_size: int = BLOCK_SIZE,
+                         packed: bytes | None = None):
+    """Host serial front half of decode: offset walk + field extraction.
 
-    With residual=True, returns the raw float IDCT output (the reference's
-    ``expanded`` array incl. the +128 restore, Block.cpp:163-177) WITHOUT
-    the clamp-to-byte — the P-frame residual path (Frame.cpp:107-117) adds
-    it onto the motion prediction before clamping.
-
-    ``bits`` may be None when ``packed`` is given — the native hot path
-    never materializes the 8x bit array; only the numpy fallbacks do.
+    Returns (coeffs [N, B, B] int row-major, end_bit).  The wire format
+    forces this to stay host-side — block N's position depends on every
+    previous block's width (ImageDecoder.cpp:88-113) — but everything
+    after it (dequantize/IDCT/deblockify) is data-parallel; the sharded
+    device back end (parallel/sharding.decode_image_sharded) consumes
+    this output directly.
     """
     k = block_size * block_size
     if packed is None:
@@ -249,24 +248,42 @@ def decode_blocks(bits: np.ndarray | None, start_bit: int, n_blocks: int,
             coeffs = extract_coeffs_native(
                 packed, offs, dbits, counts,
                 zigzag_order(block_size), block_size)  # int16 row-major
-        coeffs = coeffs.reshape(n_blocks, block_size, block_size)
+        return coeffs.reshape(n_blocks, block_size, block_size), end
     except Exception as e:
         from ..runtime.native import warn_fallback
         warn_fallback("extract_coeffs", e)
-        if bits is None:
-            bits = bitpack.to_bits(packed)
-        # Vectorized numpy fallback: field (i, j) at offs[i] + j*dbits[i].
-        j = np.arange(k, dtype=np.int64)[None, :]
-        live = j < counts[:, None]
-        field_offs = offs[:, None] + j * dbits[:, None].astype(np.int64)
-        field_bits = np.where(live, dbits[:, None], 0)
-        raw = bitpack.read_fields(bits, field_offs.ravel(), field_bits.ravel())
-        coeffs_zz = shift_signed(raw.reshape(n_blocks, k),
-                                 np.maximum(dbits[:, None], 1)) * live
-        zz = zigzag_order(block_size)
-        flat = np.zeros((n_blocks, k), dtype=np.int32)
-        flat[:, zz] = coeffs_zz
-        coeffs = flat.reshape(n_blocks, block_size, block_size)
+    if bits is None:
+        bits = bitpack.to_bits(packed)
+    # Vectorized numpy fallback: field (i, j) at offs[i] + j*dbits[i].
+    j = np.arange(k, dtype=np.int64)[None, :]
+    live = j < counts[:, None]
+    field_offs = offs[:, None] + j * dbits[:, None].astype(np.int64)
+    field_bits = np.where(live, dbits[:, None], 0)
+    raw = bitpack.read_fields(bits, field_offs.ravel(), field_bits.ravel())
+    coeffs_zz = shift_signed(raw.reshape(n_blocks, k),
+                             np.maximum(dbits[:, None], 1)) * live
+    zz = zigzag_order(block_size)
+    flat = np.zeros((n_blocks, k), dtype=np.int32)
+    flat[:, zz] = coeffs_zz
+    return flat.reshape(n_blocks, block_size, block_size), end
+
+
+def decode_blocks(bits: np.ndarray | None, start_bit: int, n_blocks: int,
+                  quant: QuantMatrix, use_rle: bool, norm: str = "reference",
+                  backend: str = "numpy", block_size: int = BLOCK_SIZE,
+                  residual: bool = False, packed: bytes | None = None):
+    """Parse + inverse-transform all blocks. Returns ([N,B,B] u8, end_bit).
+
+    With residual=True, returns the raw float IDCT output (the reference's
+    ``expanded`` array incl. the +128 restore, Block.cpp:163-177) WITHOUT
+    the clamp-to-byte — the P-frame residual path (Frame.cpp:107-117) adds
+    it onto the motion prediction before clamping.
+
+    ``bits`` may be None when ``packed`` is given — the native hot path
+    never materializes the 8x bit array; only the numpy fallbacks do.
+    """
+    coeffs, end = extract_block_coeffs(bits, start_bit, n_blocks, use_rle,
+                                       block_size, packed=packed)
 
     if backend == "jax":
         # Fully on-device inverse half (incl. the residual path — round 1

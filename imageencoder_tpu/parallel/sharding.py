@@ -654,3 +654,88 @@ def encode_sharded_image_batch(frames, quant, mesh, use_rle: bool = True,
         else:
             out.append(inner)
     return out
+
+
+def make_sharded_image_decode(mesh, h: int, w: int, block_size: int = 4,
+                              norm: str = "reference"):
+    """Mesh-parallel image-decode back end — the decode mirror of the
+    sharded encode steps above (sharded VIDEO decode landed in
+    video_sharding.py; this closes the image side).
+
+    The wire format forces the Huffman FSM, offset walk and field
+    extraction to stay host-side (block N's stream position depends on
+    every previous block's width, ImageDecoder.cpp:88-113), but the
+    heavy inverse half — dequantize, IDCT, +128 restore, clamp,
+    deblockify (ImageDecoder.cpp:55-87) — is embarrassingly parallel
+    over blocks.  Block ROWS are sharded over the FLATTENED
+    (frame, block) mesh (a single image has no frame axis to occupy, so
+    both axes gang on spatial stripes); each device reconstructs one
+    horizontal stripe, and because the wire order is row-major the
+    out-spec concatenation reassembles [h, w] without any collective.
+
+    f(coeffs i32 [N, B, B] row-major, quant f32 [B, B]) -> image u8
+    [h, w].  h/B must divide by the mesh size (the driver below pads).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    b = block_size
+    dct_m = np.asarray(dct_matrix(b, norm), dtype=np.float32)
+    bx = w // b
+
+    def per_shard(coeffs, quant):
+        rows = coeffs.shape[0] // bx
+        d = jnp.asarray(dct_m)
+        y = coeffs.astype(jnp.float32) * quant.astype(jnp.float32)
+        x = jnp.einsum("ui,nuv,vj->nij", d, y, d,
+                       precision=jax.lax.Precision.HIGHEST) \
+            + jnp.float32(128.0)
+        px = jnp.floor(jnp.clip(x, 0.0, 255.0)).astype(jnp.uint8)
+        return px.reshape(rows, bx, b, b).swapaxes(1, 2).reshape(rows * b, w)
+
+    fn = shard_map(per_shard, mesh=mesh,
+                   in_specs=(P(("frame", "block")), P()),
+                   out_specs=P(("frame", "block")),
+                   check_vma=False)
+    return jax.jit(fn)
+
+
+def decode_image_sharded(data: bytes, mesh, norm: str = "reference",
+                         block_size: int = 4) -> np.ndarray:
+    """Decode one wire stream across every chip of the mesh.
+
+    Host serial stages (Huffman FSM + offset walk + extraction, the
+    stages the bit-serial wire format forces) feed the sharded device
+    inverse half (make_sharded_image_decode).  Same f32 rounding-tie
+    class as decode_image(backend="jax") — and bit-identical to it,
+    since the per-block einsum contraction is unchanged by stripe
+    batching.
+    """
+    import jax.numpy as jnp
+
+    from ..models.headers import read_image_header
+    from ..models.image import extract_block_coeffs
+    from ..ops.bitpack import BitReader
+    from ..ops.huffman import huffman_decode
+
+    if data[0] & 0x80:
+        payload, start = huffman_decode(data), 0
+    else:
+        payload, start = data, 1
+    reader = BitReader(payload[:65536], position=start)
+    quant, use_rle, w, h = read_image_header(reader, block_size)
+    b = block_size
+    by, bx = h // b, w // b
+    coeffs, _ = extract_block_coeffs(None, reader.position, by * bx,
+                                     use_rle, b, packed=payload)
+    nd = mesh.devices.size
+    rows_pad = -(-by // nd) * nd
+    if rows_pad != by:  # zero blocks decode to gray padding, sliced off
+        pad = np.zeros(((rows_pad - by) * bx, b, b), coeffs.dtype)
+        coeffs = np.concatenate([coeffs, pad], axis=0)
+    step = make_sharded_image_decode(mesh, rows_pad * b, w, b, norm)
+    img = np.asarray(step(jnp.asarray(coeffs, jnp.int32),
+                          jnp.asarray(quant.as_float(np.float32))))
+    return img[:h]

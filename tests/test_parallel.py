@@ -203,3 +203,44 @@ def test_image_batch_device_entropy(frames, quant):
         single = encode_image(frames[f], qm, use_rle=True, use_huffman=True,
                               backend="jax")
         assert streams[f] == single, f
+
+
+def test_sharded_image_decode_matches_single_device():
+    """decode_image_sharded == decode_image(backend='jax') bit-for-bit:
+    stripe batching does not change the per-block einsum contraction."""
+    from imageencoder_tpu.models.image import decode_image, encode_image
+    from imageencoder_tpu.parallel import decode_image_sharded
+    from imageencoder_tpu.utils.quant import QuantMatrix
+
+    rng = np.random.default_rng(7)
+    base = np.kron(rng.integers(0, 256, (8, 16)), np.ones((8, 8)))
+    img = np.clip(base + rng.normal(0, 5, base.shape), 0,
+                  255).astype(np.uint8)  # 64x128 -> 16 block rows = 2/shard
+    q = QuantMatrix(np.full((4, 4), 10.0))
+    for use_huffman in (True, False):
+        enc = encode_image(img, q, use_rle=True, use_huffman=use_huffman,
+                           backend="numpy")
+        got = decode_image_sharded(enc, make_mesh(8))
+        want = decode_image(enc, backend="jax")
+        np.testing.assert_array_equal(got, want)
+        # and the numpy parity path agrees up to f32 rounding ties
+        exact = decode_image(enc, backend="numpy")
+        assert np.abs(got.astype(int) - exact.astype(int)).max() <= 1
+
+
+def test_sharded_image_decode_pads_odd_block_rows():
+    """Block-row counts that don't divide the mesh size are zero-padded
+    on device and sliced off after reassembly (9 rows over 8 devices)."""
+    from imageencoder_tpu.models.image import decode_image, encode_image
+    from imageencoder_tpu.parallel import decode_image_sharded
+    from imageencoder_tpu.utils.quant import QuantMatrix
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (36, 32), dtype=np.uint8)  # 9 block rows
+    q = QuantMatrix(np.full((4, 4), 8.0))
+    enc = encode_image(img, q, use_rle=True, use_huffman=True,
+                       backend="numpy")
+    got = decode_image_sharded(enc, make_mesh(8))
+    want = decode_image(enc, backend="jax")
+    assert got.shape == (36, 32)
+    np.testing.assert_array_equal(got, want)

@@ -297,6 +297,13 @@ def main() -> int:
                   "left)", flush=True)
     print(f"[soak] DONE: {n_img} images, {n_vid} videos, {n_skip} skips — "
           "all parity checks passed")
+    import json
+
+    with open(os.path.join(REPO, "tools", "soak_results.json"), "w") as f:
+        json.dump({"seed": args.seed, "minutes": args.minutes,
+                   "images_passed": n_img, "videos_passed": n_vid,
+                   "ref_bug_skips": n_skip, "cases": case,
+                   "result": "all parity checks passed"}, f, indent=1)
     return 0
 
 
