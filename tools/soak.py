@@ -177,7 +177,9 @@ def main() -> int:
     quants = {k: QuantMatrix.from_file(v) for k, v in qfiles.items()}
     kinds = ["blocky", "blocky", "noise", "flat", "gradient"]
     t_end = time.time() + args.minutes * 60
-    n_img = n_vid = n_skip = case = 0
+    n_img = n_vid = case = 0
+    skips = {"ref_crash": 0, "ref_invalid_dict": 0,
+             "ref_truncated_dict": 0, "rle0_video_unsound": 0}
     while time.time() < t_end:
         case += 1
         qname = pyrng.choice(list(quants))
@@ -193,7 +195,7 @@ def main() -> int:
                 ref_enc = ref.encode_image(img, qfile, use_rle,
                                            name=f"s{case}")
             except (RuntimeError, FileNotFoundError):
-                n_skip += 1  # reference crashed without output
+                skips["ref_crash"] += 1  # crashed without output
                 continue
             our_enc = encode_image(img, quant, use_rle, use_huffman=True,
                                    backend="numpy")
@@ -204,10 +206,10 @@ def main() -> int:
                 # Reference bug (docs/PARITY.md): its Huffman dict wrapped
                 # code lengths >= 16 in the 4-bit field; the stream is
                 # unreadable even by its own decoder.  Nothing to compare.
-                n_skip += 1
+                skips["ref_invalid_dict"] += 1
                 continue
             if not _ref_inner_header_matches(_inner(ref_enc), w, h):
-                n_skip += 1  # reference truncated-dict bug, see above
+                skips["ref_truncated_dict"] += 1  # see above
                 continue
             _, _, ends, end_bits = _image_layout(_inner(our_enc))
             _assert_inner_match(ref_enc, our_enc, end_bits, ctx)
@@ -270,7 +272,7 @@ def main() -> int:
                 # (round-4 soak find: zero motion vectors with co-located
                 # residuals for late frames; docs/PARITY.md).  Nothing
                 # trustworthy to compare against.
-                n_skip += 1
+                skips["rle0_video_unsound"] += 1
                 continue
             try:
                 ref_enc = ref.encode_video(data, w, h, qfile, use_rle, gop,
@@ -280,29 +282,30 @@ def main() -> int:
                 # fallback for incompressible video (documented bug), and
                 # on some content segfaults BEFORE writing any output
                 # (FileNotFoundError from the oracle).
-                n_skip += 1
+                skips["ref_crash"] += 1
                 continue
             if not _ref_dict_is_valid(ref_enc):
-                n_skip += 1  # reference code-length-wrap bug, see above
+                skips["ref_invalid_dict"] += 1  # wrap bug, see above
                 continue
             if not _ref_inner_header_matches(_inner(ref_enc), w, h):
-                n_skip += 1  # reference truncated-dict bug, see above
+                skips["ref_truncated_dict"] += 1  # see above
                 continue
             _assert_inner_match(ref_enc, our_enc,
                                 _video_stream_bits(_inner(our_enc)), ctx)
             n_vid += 1
         if case % 25 == 0:
-            print(f"[soak] {n_img} images, {n_vid} videos, {n_skip} "
-                  f"ref-abort skips ({(t_end - time.time()) / 60:.1f} min "
-                  "left)", flush=True)
-    print(f"[soak] DONE: {n_img} images, {n_vid} videos, {n_skip} skips — "
+            print(f"[soak] {n_img} images, {n_vid} videos, "
+                  f"{sum(skips.values())} ref-bug skips "
+                  f"({(t_end - time.time()) / 60:.1f} min left)",
+                  flush=True)
+    print(f"[soak] DONE: {n_img} images, {n_vid} videos, {skips} — "
           "all parity checks passed")
     import json
 
     with open(os.path.join(REPO, "tools", "soak_results.json"), "w") as f:
         json.dump({"seed": args.seed, "minutes": args.minutes,
                    "images_passed": n_img, "videos_passed": n_vid,
-                   "ref_bug_skips": n_skip, "cases": case,
+                   "ref_bug_skips": skips, "cases": case,
                    "result": "all parity checks passed"}, f, indent=1)
     return 0
 
