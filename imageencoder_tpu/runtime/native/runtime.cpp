@@ -33,6 +33,7 @@
 #include <malloc.h>
 #include <memory>
 #include <thread>
+#include <type_traits>
 #include <vector>
 
 #ifdef _OPENMP
@@ -263,6 +264,11 @@ struct PipelinePool {
 // (next_state << 4) | n_emitted, with the <= 8 emitted symbols per entry in
 // sym_tab.  Built by nibble composition (~8x cheaper than walking 8 tree
 // levels per entry).
+// Independent FSM state chains walked interleaved per thread in the
+// speculative pass (see huffman_fsm_decode): enough to overlap the
+// dependent table-load latency without spilling the chain state.
+constexpr int FSM_GROUP = 4;
+
 struct FsmTables {
     std::vector<int32_t> child;    // 2 per node; -1 = absent
     std::vector<int32_t> symbol;   // per node; -1 = internal
@@ -744,10 +750,13 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
     #ifdef _OPENMP
     n_threads = omp_get_max_threads();
     #endif
-    // Two chunks per thread, walked INTERLEAVED in pass 1: two
+    // FSM_GROUP chunks per thread, walked INTERLEAVED in pass 1:
     // independent state chains hide the table walk's dependent-load
-    // latency (~1.7x, same trick as the pipelined decoder's chunk pairs).
-    int n_chunks = 2 * n_threads;
+    // latency (the per-byte work is two loads off the same data-dependent
+    // index; interleaving gives the OoO core FSM_GROUP overlapping misses
+    // instead of one serial chain — 2-way measured ~1.7x over serial,
+    // 4-way ~1.2x more on ex4's 1.8 MB payload).
+    int n_chunks = FSM_GROUP * n_threads;
     if (n_in < (int64_t)1 << 16) n_chunks = 1;
     const int64_t per = (n_in + n_chunks - 1) / n_chunks;
     const auto chunk_lo = [&](int ci) { return first_byte + (int64_t)ci * per; };
@@ -770,75 +779,65 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
         return spec_out.get() + (chunk_lo(ci) - first_byte) * 8
                + (size_t)ci * 8;
     };
-    const int n_pairs = (n_chunks + 1) / 2;
+    const int n_groups = (n_chunks + FSM_GROUP - 1) / FSM_GROUP;
     TSAN_HB_RELEASE();
     #ifdef _OPENMP
     #pragma omp parallel for schedule(static)
     #endif
-    for (int pi = 0; pi < n_pairs; pi++) {
+    for (int gi = 0; gi < n_groups; gi++) {
         TSAN_HB_ACQUIRE();
-        const int ca = 2 * pi, cb = 2 * pi + 1;
-        int32_t sa = ca == 0 ? node : 0;  // chunk 0's entry state IS known;
-        int32_t sb = 0;                   // others speculate from the root
-        int64_t cnta = 0, cntb = 0;
-        int32_t* traja = &spec_traj[(size_t)ca * SYNC_K];
-        int64_t* prefa = &spec_pref[(size_t)ca * SYNC_K];
-        uint8_t* opa = spec_buf(ca);
-        const int64_t loa = chunk_lo(ca), hia = chunk_hi(ca);
-        if (cb < n_chunks) {
-            int32_t* trajb = &spec_traj[(size_t)cb * SYNC_K];
-            int64_t* prefb = &spec_pref[(size_t)cb * SYNC_K];
-            uint8_t* opb = spec_buf(cb);
-            const int64_t lob = chunk_lo(cb), hib = chunk_hi(cb);
-            const int64_t na = hia - loa, nb2 = hib - lob;
-            const int64_t nmin = na < nb2 ? na : nb2;
-            for (int64_t i = 0; i < nmin; i++) {
-                const size_t ia = (size_t)sa * 256 + data[loa + i];
-                const size_t ib = (size_t)sb * 256 + data[lob + i];
-                const int32_t ea = step_tab[ia];
-                const int32_t eb = step_tab[ib];
-                std::memcpy(opa + cnta, &sym_tab[ia * 8], 8);  // c <= 8 live
-                std::memcpy(opb + cntb, &sym_tab[ib * 8], 8);
-                cnta += ea & 15;
-                sa = ea >> 4;
-                cntb += eb & 15;
-                sb = eb >> 4;
-                if (i < SYNC_K) {
-                    traja[i] = sa; prefa[i] = cnta;
-                    trajb[i] = sb; prefb[i] = cntb;
+        const int c0 = gi * FSM_GROUP;
+        const int ng = n_chunks - c0 < FSM_GROUP ? n_chunks - c0 : FSM_GROUP;
+        // Compile-time NG so the chain state lives in registers and the
+        // per-byte j-loop fully unrolls.
+        const auto walk = [&](auto ngc) {
+            constexpr int NG = decltype(ngc)::value;
+            int32_t s[NG];
+            int64_t cnt[NG], len[NG];
+            const uint8_t* in[NG];
+            uint8_t* op[NG];
+            int32_t* tj[NG];
+            int64_t* pf[NG];
+            int64_t nmax = 0;
+            for (int j = 0; j < NG; j++) {
+                const int ci = c0 + j;
+                s[j] = ci == 0 ? node : 0;  // chunk 0's entry state IS
+                cnt[j] = 0;                 // known; others speculate from
+                in[j] = data + chunk_lo(ci);  // the root
+                len[j] = chunk_hi(ci) - chunk_lo(ci);
+                op[j] = spec_buf(ci);
+                tj[j] = &spec_traj[(size_t)ci * SYNC_K];
+                pf[j] = &spec_pref[(size_t)ci * SYNC_K];
+                if (len[j] > nmax) nmax = len[j];
+            }
+            for (int64_t i = 0; i < nmax; i++) {
+                for (int j = 0; j < NG; j++) {
+                    // Only the stream's last chunk is short: the guard
+                    // predicts perfectly.
+                    if (i >= len[j]) continue;
+                    const size_t idx = (size_t)s[j] * 256 + in[j][i];
+                    const int32_t e = step_tab[idx];
+                    std::memcpy(op[j] + cnt[j], &sym_tab[idx * 8], 8);
+                    cnt[j] += e & 15;  // c <= 8 live in the blind 8B write
+                    s[j] = e >> 4;
+                    if (i < SYNC_K) { tj[j][i] = s[j]; pf[j][i] = cnt[j]; }
                 }
             }
-            for (int64_t i = nmin; i < nb2; i++) {
-                const size_t ib = (size_t)sb * 256 + data[lob + i];
-                const int32_t eb = step_tab[ib];
-                std::memcpy(opb + cntb, &sym_tab[ib * 8], 8);
-                cntb += eb & 15;
-                sb = eb >> 4;
-                if (i < SYNC_K) { trajb[i] = sb; prefb[i] = cntb; }
+            for (int j = 0; j < NG; j++) {
+                spec_state[c0 + j] = s[j];
+                spec_count[c0 + j] = cnt[j];
             }
-            spec_state[cb] = sb;
-            spec_count[cb] = cntb;
-            for (int64_t i = nmin; i < na; i++) {
-                const size_t ia = (size_t)sa * 256 + data[loa + i];
-                const int32_t ea = step_tab[ia];
-                std::memcpy(opa + cnta, &sym_tab[ia * 8], 8);
-                cnta += ea & 15;
-                sa = ea >> 4;
-                if (i < SYNC_K) { traja[i] = sa; prefa[i] = cnta; }
-            }
-        } else {
-            for (int64_t i = loa; i < hia; i++) {
-                const size_t ia = (size_t)sa * 256 + data[i];
-                const int32_t ea = step_tab[ia];
-                std::memcpy(opa + cnta, &sym_tab[ia * 8], 8);
-                cnta += ea & 15;
-                sa = ea >> 4;
-                if (i - loa < SYNC_K) { traja[i - loa] = sa;
-                                        prefa[i - loa] = cnta; }
-            }
+        };
+        switch (ng) {
+            case 8: walk(std::integral_constant<int, 8>{}); break;
+            case 7: walk(std::integral_constant<int, 7>{}); break;
+            case 6: walk(std::integral_constant<int, 6>{}); break;
+            case 5: walk(std::integral_constant<int, 5>{}); break;
+            case 4: walk(std::integral_constant<int, 4>{}); break;
+            case 3: walk(std::integral_constant<int, 3>{}); break;
+            case 2: walk(std::integral_constant<int, 2>{}); break;
+            default: walk(std::integral_constant<int, 1>{}); break;
         }
-        spec_state[ca] = sa;
-        spec_count[ca] = cnta;
         TSAN_HB_RELEASE();
     }
     TSAN_HB_ACQUIRE();
