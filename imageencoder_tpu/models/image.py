@@ -402,11 +402,15 @@ def _decode_image_pipelined_host(data: bytes, norm: str, block_size: int,
         entries = None
         start_bit = 0
         if data[0] & 0x80:  # Huffman-coded: parse the dict prefix only
-            from ..ops.huffman import parse_dict_bytes
+            from ..ops.huffman import parse_dict_bytes, validate_dict_entries
 
             entries, start_bit = parse_dict_bytes(data)
             if not entries:
                 return None
+            # Same strict rejection as huffman_decode: a wrapped/corrupt
+            # dict must not head-decode to garbage dims (the staged path
+            # this falls back to raises the loud StreamFormatError).
+            validate_dict_entries(entries)
             head = huffman_fsm_decode_head_native(data, start_bit, entries)
             hreader = BitReader(head, position=0)
         else:

@@ -508,8 +508,12 @@ def _iter_parsed_frames(payload, params, use_rle, width, height, pos,
     gop = max(1, params.gop)
     mv_reader = None
     try:
-        from ..runtime.native import read_signed_fields_native
-        mv_reader = read_signed_fields_native
+        # available() probes the built library: the wrapper itself raises
+        # ImportError at CALL time when the lib is absent, which would
+        # bypass the numpy fallback below.
+        from ..runtime.native import available, read_signed_fields_native
+        if available():
+            mv_reader = read_signed_fields_native
     except Exception:
         pass
     for f in range(params.frame_count):
@@ -587,8 +591,6 @@ def decode_video(data: bytes, motioncomp: bool = True,
      parsed) = parse_video_stream(data, block_size)
     n_micro = (width // block_size) * (height // block_size)
     n_macro = (width // MACRO) * (height // MACRO)
-    y_size = width * height
-    uv = np.full(y_size // 2, UV_FILL, dtype=np.uint8)
     gop = max(1, params.gop)
     packed = payload  # shared by per-frame parsing
 

@@ -258,6 +258,50 @@ def parse_dict(reader: BitReader):
     return entries
 
 
+def validate_dict_entries(entries) -> None:
+    """Strict prefix validation of parsed dict entries; raises
+    StreamFormatError on any dict no code tree can represent.
+
+    The reference ENCODER can emit invalid dicts: it stores code lengths
+    in a 4-bit field but builds unlimited-depth trees, so depths >= 16
+    silently wrap (17 -> "1", 16 -> zero-length); its own decoder crashes
+    on such streams (docs/PARITY.md).  Decoding one would only produce
+    garbage — fail loudly instead.  A Kraft bound alone is NOT enough:
+    wrapped or corrupt dicts can keep Kraft sum <= 1 while a code is a
+    prefix of (or equal to) another, so this builds the tree and rejects
+    zero-length codes, duplicate codes, and prefix violations directly.
+    (Our encoder's canonical codes are 15-bit length-limited and can
+    never trip this.)
+    """
+    from ..utils.exceptions import StreamFormatError
+
+    children = [[-1, -1]]
+    leaf = [False]
+    for _sym, word, ln in entries:
+        if ln < 1:
+            raise StreamFormatError(
+                "invalid Huffman dictionary: zero-length code (the "
+                "reference encoder's 4-bit length-field wrap, 16 -> 0)")
+        node = 0
+        for k in range(ln - 1, -1, -1):
+            if leaf[node]:
+                raise StreamFormatError(
+                    "invalid Huffman dictionary: a code extends another "
+                    "(non-prefix; reference length-field wrap or corrupt "
+                    "stream)")
+            bit = (word >> k) & 1
+            if children[node][bit] == -1:
+                children[node][bit] = len(children)
+                children.append([-1, -1])
+                leaf.append(False)
+            node = children[node][bit]
+        if leaf[node] or children[node] != [-1, -1]:
+            raise StreamFormatError(
+                "invalid Huffman dictionary: duplicate code or a code "
+                "that prefixes another (non-prefix dict)")
+        leaf[node] = True
+
+
 def _build_tree(entries):
     """Code tree as arrays: children[node][bit] -> node (-1 absent), symbol[node]."""
     children = [[-1, -1]]
@@ -493,21 +537,7 @@ def huffman_decode(data: bytes) -> bytes:
     entries, dict_end = parse_dict_bytes(data)
     if not entries:
         raise ValueError("huffman_decode called on a stream without a dict")
-    # Reject non-prefix dictionaries (Kraft sum > 1).  The reference
-    # ENCODER can emit these: its dict stores code lengths in a 4-bit
-    # field but builds unlimited-depth trees, so depths >= 16 silently
-    # wrap (e.g. 17 -> "1"); its own decoder crashes on such streams
-    # (docs/PARITY.md).  Decoding one would only produce garbage — fail
-    # loudly instead.  (Our encoder's canonical codes are 15-bit
-    # length-limited and can never trip this.)
-    kraft_num = sum(1 << (16 - max(ln, 0)) if ln <= 16 else 0
-                    for _, _, ln in entries)
-    if kraft_num > (1 << 16):
-        from ..utils.exceptions import StreamFormatError
-
-        raise StreamFormatError(
-            "invalid Huffman dictionary: non-prefix code lengths (the "
-            "reference encoder's 4-bit length-field wrap produces these)")
+    validate_dict_entries(entries)
 
     try:
         from ..runtime.native import huffman_fsm_decode_native

@@ -798,7 +798,7 @@ def decode_video_sharded(data: bytes, mesh, motioncomp: bool = True,
     import jax
     import jax.numpy as jnp
 
-    from ..models.video import UV_FILL, parse_video_stream
+    from ..models.video import parse_video_stream
     from ..ops.zigzag import zigzag_order
     from ..runtime.native import extract_coeffs_native
 
@@ -832,12 +832,10 @@ def decode_video_sharded(data: bytes, mesh, motioncomp: bool = True,
         jnp.asarray(quant.as_float(np.float32)))))
     frames = frames.reshape(g_pad * gop, height, width)[:f]
 
-    uv = np.full(width * height // 2, UV_FILL, dtype=np.uint8)
-    out = []
-    for frame in frames:
-        out.append(frame.reshape(-1))
-        out.append(uv)
-    return (b"".join(a.tobytes() for a in out), params, (width, height))
+    from ..models.video import _assemble_yuv420
+
+    return (_assemble_yuv420(frames, width, height), params,
+            (width, height))
 
 
 def encode_sharded_video_huffman(mvw, blw, blk_bits, hist, width: int,

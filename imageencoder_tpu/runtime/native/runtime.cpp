@@ -277,9 +277,11 @@ struct FsmTables {
     int n_nodes = 0;
 };
 
-static void build_fsm_tables(const int32_t* syms, const int32_t* words,
-                             const int32_t* lens, int n_entries,
-                             FsmTables& ft) {
+// Code tree (child/symbol arrays) from parsed dict entries — shared by
+// the full FSM-table build and the bounded head decoder.
+static void build_code_tree(const int32_t* syms, const int32_t* words,
+                            const int32_t* lens, int n_entries,
+                            FsmTables& ft) {
     ft.child.assign(2, -1);
     ft.symbol.assign(1, -1);
     for (int e = 0; e < n_entries; e++) {
@@ -296,6 +298,12 @@ static void build_fsm_tables(const int32_t* syms, const int32_t* words,
         }
         ft.symbol[node] = syms[e];
     }
+}
+
+static void build_fsm_tables(const int32_t* syms, const int32_t* words,
+                             const int32_t* lens, int n_entries,
+                             FsmTables& ft) {
+    build_code_tree(syms, words, lens, n_entries, ft);
     const int n_nodes = (int)ft.symbol.size();
     ft.n_nodes = n_nodes;
     std::vector<int32_t> step4((size_t)n_nodes * 16);
@@ -930,23 +938,8 @@ int64_t huffman_fsm_decode_head(const uint8_t* data, int64_t nbytes,
                                 const int32_t* words, const int32_t* lens,
                                 int n_entries, uint8_t* out,
                                 int64_t max_out) {
-    FsmTables ft;  // tree only
-    ft.child.assign(2, -1);
-    ft.symbol.assign(1, -1);
-    for (int e = 0; e < n_entries; e++) {
-        int32_t node = 0;
-        for (int k = lens[e] - 1; k >= 0; k--) {
-            const int bit = (words[e] >> k) & 1;
-            if (ft.child[node * 2 + bit] < 0) {
-                ft.child[node * 2 + bit] = (int32_t)ft.symbol.size();
-                ft.child.push_back(-1);
-                ft.child.push_back(-1);
-                ft.symbol.push_back(-1);
-            }
-            node = ft.child[node * 2 + bit];
-        }
-        ft.symbol[node] = syms[e];
-    }
+    FsmTables ft;  // tree only — byte tables cost more than a head walk
+    build_code_tree(syms, words, lens, n_entries, ft);
     const int64_t nbits = nbytes * 8;
     int32_t node = 0;
     int64_t n_out = 0;

@@ -259,3 +259,60 @@ def test_decode_rejects_zero_length_code_dict():
     assert data[0] & 0x80
     with pytest.raises(StreamFormatError):
         huffman_decode(data)
+
+
+def test_decode_rejects_prefix_violation_with_kraft_one():
+    """A corrupt dict can keep Kraft sum <= 1 while one code prefixes
+    another ({a: "0", b: "00", c: "11"} — Kraft 1/2+1/4+1/4 = 1): a
+    Kraft bound alone misses it, but no code tree can represent it, so
+    validate_dict_entries must reject it (symbol b is unreachable and
+    the payload would decode to silently wrong bytes)."""
+    import pytest
+
+    from imageencoder_tpu.ops.bitpack import BitWriter
+    from imageencoder_tpu.ops.huffman import huffman_decode
+    from imageencoder_tpu.utils.exceptions import StreamFormatError
+
+    w = BitWriter()
+    w.put_bit(1)           # huffman flag / first group has-items
+    w.put(7, 1)            # seq len 1
+    w.put(4, 1)            # bit len 1
+    w.put(8, 10)           # sym a
+    w.put(1, 0)            # code "0"
+    w.put_bit(1)           # second group
+    w.put(7, 2)            # seq len 2
+    w.put(4, 2)            # bit len 2
+    for sym, code in ((11, 0), (12, 3)):  # codes "00", "11"
+        w.put(8, sym)
+        w.put(2, code)
+    w.put_bit(0)           # stop
+    w.put(32, 0xDEADBEEF)  # some payload bits
+    data = w.getvalue()
+    assert data[0] & 0x80
+    with pytest.raises(StreamFormatError):
+        huffman_decode(data)
+
+
+def test_decode_rejects_duplicate_code_dict():
+    """Two symbols on the same code word ({a: "1", b: "1"}) — Kraft sum
+    exactly 1 again; the tree insert would silently overwrite symbol a,
+    so the strict validation must reject the dict instead."""
+    import pytest
+
+    from imageencoder_tpu.ops.bitpack import BitWriter
+    from imageencoder_tpu.ops.huffman import huffman_decode
+    from imageencoder_tpu.utils.exceptions import StreamFormatError
+
+    w = BitWriter()
+    w.put_bit(1)           # huffman flag / first group has-items
+    w.put(7, 2)            # seq len 2
+    w.put(4, 1)            # bit len 1
+    for sym in (10, 11):
+        w.put(8, sym)
+        w.put(1, 1)        # both on code "1"
+    w.put_bit(0)           # stop
+    w.put(32, 0xDEADBEEF)  # some payload bits
+    data = w.getvalue()
+    assert data[0] & 0x80
+    with pytest.raises(StreamFormatError):
+        huffman_decode(data)

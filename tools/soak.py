@@ -86,8 +86,9 @@ def _video_stream_bits(inner: bytes) -> int:
     return end
 
 
-def _assert_inner_match(ref_enc, our_enc, end_bits, ctx):
-    ri, oi = _inner(ref_enc), _inner(our_enc)
+def _assert_inner_match(ref_enc, our_enc, end_bits, ctx, ri, oi):
+    # ri/oi: the two inner payloads, decoded ONCE by the caller (the
+    # Huffman unwrap is the dominant per-case cost).
     if not ref_enc[0] >> 7:
         # Reference Huffman-fallback tail bits are heap-dependent
         # (Huffman.cpp:332-340 overflow, docs/PARITY.md).
@@ -109,24 +110,22 @@ def _assert_inner_match(ref_enc, our_enc, end_bits, ctx):
         raise
 
 
-def _ref_dict_is_valid(stream: bytes) -> bool:
-    """Detect the reference's 4-bit code-length WRAP (round-4 soak find):
-    a skewed histogram gives true Huffman depths >= 16, which the dict's
-    4-bit value-bit-len field wraps (17 -> 1, 16 -> 0), producing a
-    non-prefix dict the reference's own decoder crashes on.  Variants
-    seen: two 1-bit codes beside 7-9-bit ones (Kraft > 1) and a 2-symbol
-    dict with both lengths wrapped to 0 (Kraft == 1) — so a Kraft bound
-    alone is insufficient; use our strict parser's prefix validation."""
-    if not stream[0] >> 7:
-        return True  # fallback form, no dict
-    from imageencoder_tpu.ops.huffman import huffman_decode
+def _ref_inner(stream: bytes):
+    """Unwrap a reference stream's inner payload, or None when its dict
+    has the 4-bit code-length WRAP (round-4 soak find): a skewed
+    histogram gives true Huffman depths >= 16, which the dict's 4-bit
+    value-bit-len field wraps (17 -> 1, 16 -> 0), producing a non-prefix
+    dict the reference's own decoder crashes on.  Variants seen: two
+    1-bit codes beside 7-9-bit ones (Kraft > 1) and a 2-symbol dict with
+    both lengths wrapped to 0 (Kraft == 1) — huffman_decode's strict
+    prefix validation (ops/huffman.py::validate_dict_entries) rejects
+    both."""
     from imageencoder_tpu.utils.exceptions import StreamFormatError
 
     try:
-        huffman_decode(stream)
+        return _inner(stream)
     except StreamFormatError:
-        return False
-    return True
+        return None
 
 
 def _ref_inner_header_matches(inner: bytes, w: int, h: int) -> bool:
@@ -202,17 +201,19 @@ def main() -> int:
             # our stream always round-trips through our own decoder
             mine = decode_image(our_enc, backend="numpy")
             assert mine.shape == (h, w), ctx
-            if not _ref_dict_is_valid(ref_enc):
+            ri = _ref_inner(ref_enc)
+            if ri is None:
                 # Reference bug (docs/PARITY.md): its Huffman dict wrapped
                 # code lengths >= 16 in the 4-bit field; the stream is
                 # unreadable even by its own decoder.  Nothing to compare.
                 skips["ref_invalid_dict"] += 1
                 continue
-            if not _ref_inner_header_matches(_inner(ref_enc), w, h):
+            if not _ref_inner_header_matches(ri, w, h):
                 skips["ref_truncated_dict"] += 1  # see above
                 continue
-            _, _, ends, end_bits = _image_layout(_inner(our_enc))
-            _assert_inner_match(ref_enc, our_enc, end_bits, ctx)
+            oi = _inner(our_enc)
+            _, _, ends, end_bits = _image_layout(oi)
+            _assert_inner_match(ref_enc, our_enc, end_bits, ctx, ri, oi)
             refdec = ref.decode_image(ref_enc, w, h, qfile, use_rle,
                                       name=f"s{case}")
             # cross: our decoder on the reference stream — decoder parity
@@ -284,14 +285,16 @@ def main() -> int:
                 # (FileNotFoundError from the oracle).
                 skips["ref_crash"] += 1
                 continue
-            if not _ref_dict_is_valid(ref_enc):
+            ri = _ref_inner(ref_enc)
+            if ri is None:
                 skips["ref_invalid_dict"] += 1  # wrap bug, see above
                 continue
-            if not _ref_inner_header_matches(_inner(ref_enc), w, h):
+            if not _ref_inner_header_matches(ri, w, h):
                 skips["ref_truncated_dict"] += 1  # see above
                 continue
-            _assert_inner_match(ref_enc, our_enc,
-                                _video_stream_bits(_inner(our_enc)), ctx)
+            oi = _inner(our_enc)
+            _assert_inner_match(ref_enc, our_enc, _video_stream_bits(oi),
+                                ctx, ri, oi)
             n_vid += 1
         if case % 25 == 0:
             print(f"[soak] {n_img} images, {n_vid} videos, "
