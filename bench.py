@@ -145,47 +145,40 @@ def main() -> int:
     except Exception as e:
         note(f"batch bench failed: {e}")
 
-    # Host decode (reference: 327 ms ex4 with OpenMP).
-    try:
-        for be in ("fast", "numpy"):
-            times = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                decode_image(enc, backend=be)
-                times.append(time.perf_counter() - t0)
-            extra[f"decode_{be}_ms"] = round(min(times) * 1e3, 1)
-        extra["decode_vs_baseline"] = round(
-            BASELINE_DECODE_MS / extra["decode_fast_ms"], 2)
-        note(f"decode fast {extra['decode_fast_ms']} ms / parity "
-             f"{extra['decode_numpy_ms']} ms")
-    except Exception as e:
-        note(f"decode bench failed: {e}")
-
     # Host (CPU-only) paths — bit-parity wire output, fully native back
     # end since round 3.  Measured in a CLEAN SUBPROCESS: the axon tunnel
     # client's background threads/allocator state skew in-process host
-    # timings by 2-30x, and a standalone process is how the host codec
-    # actually runs.  Reference baselines: 461.9 ms image encode,
-    # 0.38 Mpix/s video encode.
+    # timings by 2-30x (BENCH_r04 even recorded the aliased "fast" decode
+    # slower than "numpy" — pure in-tunnel noise), and a standalone
+    # process is how the host codec actually runs.  Reference baselines:
+    # 461.9 ms image encode, 327 ms image decode, 0.38 Mpix/s video
+    # encode.
     try:
         import subprocess
 
         script = r"""
 import json, time, numpy as np
-from imageencoder_tpu.models.image import encode_image
-from imageencoder_tpu.models.video import encode_video
+from imageencoder_tpu.models.image import decode_image, encode_image
+from imageencoder_tpu.models.video import decode_video, encode_video
 from imageencoder_tpu.utils.quant import QuantMatrix
+def best(fn, n):
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
 raw = np.fromfile("/root/reference/bin/ex4.raw", np.uint8).reshape(912, 4096)
 quant = QuantMatrix.from_file("/root/reference/bin/matrix.txt")
-encode_image(raw, quant, use_rle=True, use_huffman=True, backend="numpy")
-ts = []
-for _ in range(5):
-    t0 = time.perf_counter()
-    encode_image(raw, quant, use_rle=True, use_huffman=True,
-                 backend="numpy")
-    ts.append(time.perf_counter() - t0)
-out = {"host_encode_ms": round(min(ts) * 1e3, 1),
-       "host_encode_mpix_s": round(raw.size / min(ts) / 1e6, 1)}
+enc = encode_image(raw, quant, use_rle=True, use_huffman=True,
+                   backend="numpy")
+t = best(lambda: encode_image(raw, quant, use_rle=True, use_huffman=True,
+                              backend="numpy"), 5)
+out = {"host_encode_ms": round(t * 1e3, 1),
+       "host_encode_mpix_s": round(raw.size / t / 1e6, 1)}
+for be in ("fast", "numpy"):
+    out[f"decode_{be}_ms"] = round(
+        best(lambda: decode_image(enc, backend=be), 5) * 1e3, 1)
 rng = np.random.default_rng(0)
 vw, vh, nf = 1280, 720, 25
 base = np.kron(rng.integers(0, 256, (vh // 8, vw // 8)), np.ones((8, 8)))
@@ -195,24 +188,27 @@ for f in range(nf):
                 + rng.normal(0, 3, base.shape), 0, 255).astype(np.uint8)
     fr.append(y.tobytes() + bytes(vw * vh // 2))
 vd = b"".join(fr)
-encode_video(vd, vw, vh, quant, True, 4, 16, use_huffman=True,
-             backend="numpy")
-vts = []
-for _ in range(3):
-    t0 = time.perf_counter()
-    encode_video(vd, vw, vh, quant, True, 4, 16, use_huffman=True,
-                 backend="numpy")
-    vts.append(time.perf_counter() - t0)
-out["host_video_encode_mpix_s"] = round(vw * vh * nf / min(vts) / 1e6, 2)
+venc = encode_video(vd, vw, vh, quant, True, 4, 16, use_huffman=True,
+                    backend="numpy")
+vt = best(lambda: encode_video(vd, vw, vh, quant, True, 4, 16,
+                               use_huffman=True, backend="numpy"), 3)
+out["host_video_encode_mpix_s"] = round(vw * vh * nf / vt / 1e6, 2)
+decode_video(venc, backend="fast", workers=4)  # warm the thread pool
+dt = best(lambda: decode_video(venc, backend="fast", workers=4), 3)
+out["video_decode_fast_mpix_s"] = round(vw * vh * nf / dt / 1e6, 2)
 print(json.dumps(out))
 """
         r = subprocess.run([sys.executable, "-c", script], cwd="/root/repo",
                            capture_output=True, text=True, timeout=600)
         extra.update(json.loads(r.stdout.strip().splitlines()[-1]))
+        extra["decode_vs_baseline"] = round(
+            BASELINE_DECODE_MS / extra["decode_fast_ms"], 2)
         note(f"host encode {extra['host_encode_ms']} ms "
              f"({extra['host_encode_mpix_s']} Mpix/s, bit-parity); "
-             f"host video {extra['host_video_encode_mpix_s']} Mpix/s "
-             f"(subprocess)")
+             f"decode fast {extra['decode_fast_ms']} ms / parity "
+             f"{extra['decode_numpy_ms']} ms; "
+             f"host video enc {extra['host_video_encode_mpix_s']} / "
+             f"dec {extra['video_decode_fast_mpix_s']} Mpix/s (subprocess)")
     except Exception as e:
         note(f"host bench failed: {e}")
 
@@ -250,24 +246,23 @@ print(json.dumps(out))
     except Exception as e:
         note(f"video bench failed: {e}")
 
-    # Video decode: host fast path and the fused per-GOP device decode
-    # (ops/video_pipeline.make_decode_video_device).  On this tunnel the
-    # device path is link-bound (the decoded YUV comes back D2H at
-    # ~10-40 MB/s), so the host number is the honest e2e; the device
-    # number demonstrates the graph for production links.
+    # Video decode, fused per-GOP device path
+    # (ops/video_pipeline.make_decode_video_device).  On this tunnel it is
+    # link-bound (the decoded YUV comes back D2H at ~10-40 MB/s); the host
+    # fast path is the honest e2e and is measured in the clean subprocess
+    # above (video_decode_fast_mpix_s).  This one demonstrates the device
+    # graph for production links.
     try:
         from imageencoder_tpu.models.video import decode_video
 
-        for label, kw in (("fast", dict(backend="fast", workers=4)),
-                          ("device", dict(backend="jax"))):
-            decode_video(venc, **kw)  # warm (compile / thread pool)
-            t0 = time.perf_counter()
-            decode_video(venc, **kw)
-            vd_s = time.perf_counter() - t0
-            extra[f"video_decode_{label}_mpix_s"] = round(
-                vw * vh * nf / vd_s / 1e6, 2)
-            note(f"video decode {label} {vd_s:.2f} s = "
-                 f"{extra[f'video_decode_{label}_mpix_s']} Mpix/s")
+        decode_video(venc, backend="jax")  # warm (compile)
+        t0 = time.perf_counter()
+        decode_video(venc, backend="jax")
+        vd_s = time.perf_counter() - t0
+        extra["video_decode_device_mpix_s"] = round(
+            vw * vh * nf / vd_s / 1e6, 2)
+        note(f"video decode device {vd_s:.2f} s = "
+             f"{extra['video_decode_device_mpix_s']} Mpix/s")
     except Exception as e:
         note(f"video decode bench failed: {e}")
 
