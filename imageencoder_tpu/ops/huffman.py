@@ -48,40 +48,60 @@ MAX_GROUP = 127  # must fit the 7-bit group length field
 def code_lengths(freqs: np.ndarray) -> np.ndarray:
     """Huffman code length per symbol (0 for absent symbols), max 15.
 
-    Deterministic: heap ties broken by smallest first-symbol.
+    Deterministic: heap ties broken by smallest first-symbol.  The native
+    runtime carries a bit-identical twin of the tree build (fuzz-pinned by
+    test_huffman::test_native_code_lengths_matches_python);
+    :func:`_py_code_lengths_tree` is its fallback.
     """
-    heap = []  # (freq, tiebreak, id)
-    nodes = {}  # id -> (left_id, right_id) or symbol
-    next_id = 0
-    for sym in range(256):
-        f = int(freqs[sym])
-        if f > 0:
-            heapq.heappush(heap, (f, sym, next_id))
-            nodes[next_id] = sym
-            next_id += 1
-    n_syms = len(heap)
-    if n_syms < 2:
-        raise ValueError("need >= 2 distinct symbols")
-    while len(heap) > 1:
-        f1, t1, id1 = heapq.heappop(heap)
-        f2, t2, id2 = heapq.heappop(heap)
-        nodes[next_id] = (id1, id2)
-        heapq.heappush(heap, (f1 + f2, min(t1, t2), next_id))
-        next_id += 1
+    try:
+        from ..runtime.native import huffman_code_lengths_native
 
-    lengths = np.zeros(256, dtype=np.int32)
-    stack = [(heap[0][2], 0)]
-    while stack:
-        nid, depth = stack.pop()
-        node = nodes[nid]
-        if isinstance(node, tuple):
-            stack.append((node[0], depth + 1))
-            stack.append((node[1], depth + 1))
-        else:
-            lengths[node] = max(depth, 1)
-
+        lengths = huffman_code_lengths_native(np.asarray(freqs))
+    except ImportError:
+        lengths = _py_code_lengths_tree(freqs)
     if lengths.max() > MAX_CODE_LEN:
         lengths = _limit_lengths(lengths, MAX_CODE_LEN)
+    return lengths
+
+
+def _py_code_lengths_tree(freqs: np.ndarray) -> np.ndarray:
+    """Pure-Python Huffman tree build (unlimited lengths).  Heap entries
+    are single packed ints ``(freq << 17) | (tiebreak << 9) | id`` — the
+    three fields occupy disjoint bit ranges (tiebreak <= 255, id <= 510),
+    so integer order == the (freq, tiebreak, id) lexicographic order of the
+    tuple form, at a fraction of the compare cost.
+    """
+    syms = np.nonzero(np.asarray(freqs)[:256] > 0)[0]
+    n_syms = len(syms)
+    if n_syms < 2:
+        raise ValueError("need >= 2 distinct symbols")
+    heap = [(int(freqs[s]) << 17) | (int(s) << 9) | i
+            for i, s in enumerate(syms)]
+    heapq.heapify(heap)
+    children = {}  # internal id -> (left_id, right_id)
+    next_id = n_syms
+    pop = heapq.heappop
+    push = heapq.heappush
+    while len(heap) > 1:
+        e1 = pop(heap)
+        e2 = pop(heap)
+        t1 = (e1 >> 9) & 0xFF
+        t2 = (e2 >> 9) & 0xFF
+        children[next_id] = (e1 & 0x1FF, e2 & 0x1FF)
+        push(heap, (((e1 >> 17) + (e2 >> 17)) << 17)
+             | (min(t1, t2) << 9) | next_id)
+        next_id += 1
+
+    # Parent ids always exceed child ids, so one descending sweep assigns
+    # every depth (no DFS stack).
+    depth = [0] * next_id
+    for nid in range(next_id - 1, n_syms - 1, -1):
+        l, r = children[nid]
+        d = depth[nid] + 1
+        depth[l] = d
+        depth[r] = d
+    lengths = np.zeros(256, dtype=np.int32)
+    lengths[syms] = np.maximum(np.asarray(depth[:n_syms], dtype=np.int32), 1)
     return lengths
 
 
@@ -138,14 +158,29 @@ def canonical_codes(lengths: np.ndarray):
     words = np.zeros(256, dtype=np.uint32)
     code = 0
     prev_len = 0
-    for ln in range(1, int(lengths.max()) + 1 if lengths.any() else 1):
-        for sym in range(256):
-            if lengths[sym] == ln:
-                code <<= ln - prev_len
-                prev_len = ln
-                words[sym] = code
-                code += 1
+    for ln in np.unique(lengths[lengths > 0]):
+        syms = np.nonzero(lengths == ln)[0]
+        code <<= int(ln) - prev_len
+        prev_len = int(ln)
+        words[syms] = code + np.arange(len(syms), dtype=np.uint32)
+        code += len(syms)
     return words, lengths
+
+
+class _FieldSeq:
+    """BitWriter-compatible read-only view over (value, nbits) field arrays
+    (the subset the packers consume: .values/.nbits/.position/getvalue)."""
+
+    __slots__ = ("values", "nbits", "position")
+
+    def __init__(self, values: np.ndarray, nbits: np.ndarray):
+        self.values = values
+        self.nbits = nbits
+        self.position = int(nbits.sum())
+
+    def getvalue(self) -> bytes:
+        out, _ = pack_fields(self.values, self.nbits)
+        return out
 
 
 def _dict_and_codes(freqs: np.ndarray):
@@ -163,19 +198,30 @@ def _dict_and_codes(freqs: np.ndarray):
 
     # Serialize dict: groups by code length, LONGEST first (Huffman.cpp:272
     # sorts descending by length), entries within a group by symbol.
-    w = BitWriter()
-    for ln in range(int(lengths.max()), 0, -1):
+    # Built as (value, nbits) field arrays — same wire bits as a BitWriter
+    # put-loop at a fraction of the Python cost; the returned shim carries
+    # the .values/.nbits interface the packers consume.
+    vparts, bparts = [], []
+    for ln in np.unique(lengths[lengths > 0])[::-1]:
         syms = np.nonzero(lengths == ln)[0]
         for start in range(0, len(syms), MAX_GROUP):
             chunk = syms[start:start + MAX_GROUP]
-            if len(chunk) == 0:
-                continue
-            w.put(8, 0x80 | len(chunk))  # 1-bit has-items + 7-bit length
-            w.put(4, ln)
-            for s in chunk:
-                w.put(KEY_BITS, int(s))
-                w.put(ln, int(words[s]))
-    w.put_bit(0)  # stop header
+            n = len(chunk)
+            v = np.empty(2 + 2 * n, dtype=np.int64)
+            b = np.empty(2 + 2 * n, dtype=np.int64)
+            v[0] = 0x80 | n  # 1-bit has-items + 7-bit length
+            b[0] = 8
+            v[1] = int(ln)
+            b[1] = 4
+            v[2::2] = chunk
+            b[2::2] = KEY_BITS
+            v[3::2] = words[chunk]
+            b[3::2] = int(ln)
+            vparts.append(v)
+            bparts.append(b)
+    vparts.append(np.zeros(1, dtype=np.int64))  # stop header bit
+    bparts.append(np.ones(1, dtype=np.int64))
+    w = _FieldSeq(np.concatenate(vparts), np.concatenate(bparts))
     return w, words, lengths
 
 

@@ -90,6 +90,9 @@ def _register(lib) -> None:
     lib.byte_histogram.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
         ctypes.POINTER(ctypes.c_int64)]
+    lib.huffman_code_lengths.restype = ctypes.c_longlong
+    lib.huffman_code_lengths.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)]
     lib.parse_huffman_dict.restype = ctypes.c_longlong
     lib.parse_huffman_dict.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong, ctypes.c_longlong,
@@ -287,6 +290,26 @@ def read_signed_fields_native(data: bytes, start_bit: int, n: int,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     if rc < 0:
         raise ValueError("native read_signed_fields failed")
+    return out
+
+
+def huffman_code_lengths_native(freqs: np.ndarray) -> np.ndarray:
+    """Huffman tree build -> per-symbol code length (int32 [256]), the
+    bit-identical native twin of ops/huffman.py::code_lengths' heap loop
+    (length limiting stays in the Python caller).  Raises ValueError when
+    fewer than 2 symbols are present."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("native runtime not built")
+    f = np.ascontiguousarray(np.asarray(freqs[:256]), dtype=np.int64)
+    if f.shape != (256,):
+        f = np.pad(f, (0, 256 - f.shape[0]))
+    out = np.zeros(256, np.int32)
+    rc = lib.huffman_code_lengths(
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc < 0:
+        raise ValueError("need >= 2 distinct symbols")
     return out
 
 

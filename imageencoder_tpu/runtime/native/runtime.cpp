@@ -93,10 +93,15 @@ struct BitEmitter {
     uint64_t acc;
     int na;
     bool first;
+    bool excl;
 
-    BitEmitter(uint8_t* o, int64_t bit_pos)
+    // `exclusive` = this writer owns every byte it touches (e.g. a
+    // chunk-local scratch buffer starting at bit 0): plain stores
+    // throughout, no atomic merges, and the destination need not be
+    // zero-initialized.
+    BitEmitter(uint8_t* o, int64_t bit_pos, bool exclusive = false)
         : out(o), byte_pos(bit_pos >> 3), acc(0), na((int)(bit_pos & 7)),
-          first(true) {}
+          first(!exclusive), excl(exclusive) {}
 
     inline void put(int b, uint64_t val) {  // b <= 32
         acc = (acc << b) | (val & ((1ull << b) - 1));
@@ -137,10 +142,61 @@ struct BitEmitter {
         }
         if (na > 0) {
             const uint8_t by = (uint8_t)((acc << (8 - na)) & 0xFF);
-            __atomic_fetch_or(&out[byte_pos], by, __ATOMIC_RELAXED);
+            if (excl) out[byte_pos] = by;
+            else __atomic_fetch_or(&out[byte_pos], by, __ATOMIC_RELAXED);
         }
     }
 };
+
+// Copy `nbits` MSB-first bits from src (bit 0 onward; bits past nbits in
+// src's last byte are zero) into dst at absolute bit dst_bit.  dst is the
+// shared zero-initialized stream: the first and last touched bytes may be
+// shared with neighboring writers and are merged with relaxed atomic ORs;
+// interior bytes are exclusively owned plain stores (same ownership rule
+// as BitEmitter).  This is the splice step of the single-pass encoder.
+static void bit_splice(uint8_t* dst, int64_t dst_bit, const uint8_t* src,
+                       int64_t nbits) {
+    if (nbits <= 0) return;
+    const int s = (int)(dst_bit & 7);
+    const int64_t B = dst_bit >> 3;
+    const int64_t L = (dst_bit + nbits - 1) >> 3;
+    const int64_t nsb = (nbits + 7) / 8;
+    const bool tail_shared = ((dst_bit + nbits) & 7) != 0;
+    if (B == L) {
+        __atomic_fetch_or(&dst[B], (uint8_t)(src[0] >> s), __ATOMIC_RELAXED);
+        return;
+    }
+    if (s == 0) {  // dst starts its own byte: every full byte is exclusive
+        const int64_t full = nbits / 8;
+        std::memcpy(dst + B, src, (size_t)full);
+        if (tail_shared)
+            __atomic_fetch_or(&dst[B + full], src[full], __ATOMIC_RELAXED);
+        return;
+    }
+    __atomic_fetch_or(&dst[B], (uint8_t)(src[0] >> s), __ATOMIC_RELAXED);
+    // Interior bytes B+1..L-1: out[B+k] = (src[k-1] << (8-s)) | (src[k] >> s)
+    const int64_t n_int = L - B - 1;
+    int64_t k = 1;
+    for (; k + 7 <= n_int && k + 8 <= nsb; k += 8) {  // 8 bytes per step
+        uint64_t a, b;
+        std::memcpy(&a, src + k - 1, 8);
+        std::memcpy(&b, src + k, 8);
+        a = __builtin_bswap64(a);
+        b = __builtin_bswap64(b);
+        const uint64_t o = __builtin_bswap64((a << (8 - s)) | (b >> s));
+        std::memcpy(dst + B + k, &o, 8);
+    }
+    for (; k <= n_int; k++)
+        dst[B + k] = (uint8_t)((src[k - 1] << (8 - s))
+                               | (k < nsb ? src[k] >> s : 0));
+    const int64_t kl = L - B;
+    const uint8_t last = (uint8_t)((src[kl - 1] << (8 - s))
+                                   | (kl < nsb ? src[kl] >> s : 0));
+    if (tail_shared)
+        __atomic_fetch_or(&dst[L], last, __ATOMIC_RELAXED);
+    else
+        dst[L] = last;
+}
 
 // Per-block RLE stats (Block.cpp:186-232 incl. the trailing-strip quirk and
 // the ffs(0)->1 clamp).  Returns the block's record size in bits.
@@ -203,6 +259,74 @@ static void emit_block_range(const int32_t* coeffs, int64_t lo, int64_t hi,
             em.put(data_bits, (uint64_t)(int64_t)c[j]);
     }
     em.flush();
+}
+
+#if defined(__AVX512F__)
+// Vector form of block_stats_one for k == 16 (one 512-bit lane-set): the
+// nonzero positions come from one test mask, the max signed width from an
+// OR-reduction of (v >= 0 ? v : ~v) — the highest set bit of the OR is the
+// max over lanes — replacing the 16-iteration branchy scalar loop.
+static inline int64_t block_stats_one16(const int32_t* c, int use_rle,
+                                        uint8_t* db_o, int16_t* cnt_o,
+                                        int16_t* npay_o) {
+    const __m512i v = _mm512_loadu_si512((const void*)c);
+    const unsigned nz = _mm512_test_epi32_mask(v, v);
+    const __m512i m =
+        _mm512_xor_si512(v, _mm512_srai_epi32(v, 31));
+    const uint32_t mall = (uint32_t)_mm512_reduce_or_epi32(m);
+    const int last = nz ? 31 - __builtin_clz(nz) : -1;
+    const int maxb = nz ? (mall ? 32 - __builtin_clz(mall) : 0) + 1 : 0;
+    const int length_full = last + 1;
+    const int ffs_l = length_full > 0
+        ? 32 - __builtin_clz((uint32_t)length_full) : 0;
+    int data_bits = maxb > ffs_l ? maxb : ffs_l;
+    if (data_bits < 1) data_bits = 1;
+    int count, n_payload;
+    if (use_rle) {
+        if (length_full == 16) {
+            const unsigned nzh = nz & 0x7FFFu;  // drop the last lane
+            const int last_h = nzh ? 31 - __builtin_clz(nzh) : -1;
+            const int length_head = last_h + 1;
+            const int gap = 15 - length_head;
+            count = gap > 0 ? length_head : 16;
+        } else {
+            count = length_full;
+        }
+        n_payload = count;
+    } else {
+        count = length_full;
+        n_payload = 16;
+    }
+    *db_o = (uint8_t)data_bits;
+    *cnt_o = (int16_t)count;
+    *npay_o = (int16_t)n_payload;
+    return 4 + (use_rle ? data_bits : 0) + (int64_t)n_payload * data_bits;
+}
+#endif
+
+// Dispatch: vector stats for the 4x4 hot shape, scalar otherwise.
+static inline int64_t block_stats_any(const int32_t* c, int k, int use_rle,
+                                      uint8_t* db_o, int16_t* cnt_o,
+                                      int16_t* npay_o) {
+#if defined(__AVX512F__)
+    if (k == 16) return block_stats_one16(c, use_rle, db_o, cnt_o, npay_o);
+#endif
+    return block_stats_one(c, k, use_rle, db_o, cnt_o, npay_o);
+}
+
+// Stats + record emit for ONE block in a single touch of its (cache-hot)
+// coefficients — the per-block body of the single-pass encoder.  Returns
+// the record size in bits.
+static inline int64_t emit_block_one(const int32_t* c, int k, int use_rle,
+                                     BitEmitter& em) {
+    uint8_t dbv;
+    int16_t cnt1, np1;
+    const int64_t bits = block_stats_any(c, k, use_rle, &dbv, &cnt1, &np1);
+    em.put(4, (uint64_t)dbv);
+    if (use_rle) em.put(dbv, (uint64_t)(int64_t)cnt1);
+    for (int j = 0; j < np1; j++)
+        em.put(dbv, (uint64_t)(int64_t)c[j]);
+    return bits;
 }
 
 // Persistent worker pool for the pipelined decoder: spawning std::threads
@@ -995,7 +1119,11 @@ int64_t byte_histogram(const uint8_t* data, int64_t n, int64_t* out) {
     #ifdef _OPENMP
     if (n > (int64_t)1 << 16) nt = omp_get_max_threads();
     #endif
-    std::vector<int64_t> loc((size_t)nt * 256, 0);
+    // 4 sub-histograms (lanes) per thread: real encoded streams are highly
+    // skewed, and a single counter array stalls on store-to-load forwarding
+    // when the same byte value repeats (measured 2.5x slower than on
+    // uniform-random bytes); rotating lanes breaks the dependency chain.
+    std::vector<int64_t> loc((size_t)nt * 4 * 256, 0);
     TSAN_HB_RELEASE();
     #ifdef _OPENMP
     #pragma omp parallel for schedule(static)
@@ -1003,15 +1131,94 @@ int64_t byte_histogram(const uint8_t* data, int64_t n, int64_t* out) {
     for (int t = 0; t < nt; t++) {
         TSAN_HB_ACQUIRE();
         const int64_t lo = n * t / nt, hi = n * (t + 1) / nt;
-        int64_t* hcnt = &loc[(size_t)t * 256];
-        for (int64_t i = lo; i < hi; i++) hcnt[data[i]]++;
+        int64_t* h0 = &loc[(size_t)t * 4 * 256];
+        int64_t i = lo;
+        for (; i + 4 <= hi; i += 4) {
+            h0[data[i]]++;
+            h0[256 + data[i + 1]]++;
+            h0[512 + data[i + 2]]++;
+            h0[768 + data[i + 3]]++;
+        }
+        for (; i < hi; i++) h0[data[i]]++;
         TSAN_HB_RELEASE();
     }
     TSAN_HB_ACQUIRE();
     for (int v = 0; v < 256; v++) {
         int64_t s = 0;
-        for (int t = 0; t < nt; t++) s += loc[(size_t)t * 256 + v];
+        for (int t = 0; t < nt * 4; t++) s += loc[(size_t)t * 256 + v];
         out[v] = s;
+    }
+    return 0;
+}
+
+// Huffman tree build -> code length per symbol (ops/huffman.py::
+// code_lengths semantics, bit-for-bit: min-heap keyed lexicographically by
+// (freq, smallest-contained-symbol, creation id) — packed into one
+// __int128 so integer order == tuple order).  lengths_out[256] gets 0 for
+// absent symbols, >= 1 otherwise (length limiting stays in the caller).
+// Returns 0, or -1 when fewer than 2 symbols are present.
+int64_t huffman_code_lengths(const int64_t* freqs, int32_t* lengths_out) {
+    using key_t = unsigned __int128;
+    key_t heap[256];
+    int hn = 0;
+    int n_syms = 0;
+    int16_t child_l[512], child_r[512];
+    auto hpush = [&](key_t v) {
+        int i = hn++;
+        heap[i] = v;
+        while (i > 0) {
+            const int p = (i - 1) >> 1;
+            if (heap[p] <= heap[i]) break;
+            std::swap(heap[p], heap[i]);
+            i = p;
+        }
+    };
+    auto hpop = [&]() {
+        const key_t top = heap[0];
+        heap[0] = heap[--hn];
+        int i = 0;
+        for (;;) {
+            const int l = 2 * i + 1, r = 2 * i + 2;
+            int s = i;
+            if (l < hn && heap[l] < heap[s]) s = l;
+            if (r < hn && heap[r] < heap[s]) s = r;
+            if (s == i) break;
+            std::swap(heap[i], heap[s]);
+            i = s;
+        }
+        return top;
+    };
+    for (int sym = 0; sym < 256; sym++) {
+        if (freqs[sym] > 0) {
+            hpush(((key_t)(uint64_t)freqs[sym] << 17)
+                  | ((key_t)sym << 9) | (key_t)n_syms);
+            n_syms++;
+        }
+    }
+    if (n_syms < 2) return -1;
+    int next_id = n_syms;
+    while (hn > 1) {
+        const key_t e1 = hpop(), e2 = hpop();
+        const int t1 = (int)((e1 >> 9) & 0xFF), t2 = (int)((e2 >> 9) & 0xFF);
+        child_l[next_id] = (int16_t)(e1 & 0x1FF);
+        child_r[next_id] = (int16_t)(e2 & 0x1FF);
+        hpush((((e1 >> 17) + (e2 >> 17)) << 17)
+              | ((key_t)(t1 < t2 ? t1 : t2) << 9) | (key_t)next_id);
+        next_id++;
+    }
+    int32_t depth[512] = {0};
+    for (int nid = next_id - 1; nid >= n_syms; nid--) {
+        depth[child_l[nid]] = depth[nid] + 1;
+        depth[child_r[nid]] = depth[nid] + 1;
+    }
+    int leaf = 0;
+    for (int sym = 0; sym < 256; sym++) {
+        if (freqs[sym] > 0) {
+            const int d = depth[leaf++];
+            lengths_out[sym] = d > 1 ? d : 1;
+        } else {
+            lengths_out[sym] = 0;
+        }
     }
     return 0;
 }
@@ -2006,14 +2213,17 @@ int64_t encode_pack_blocks(const int32_t* coeffs, int64_t n_blocks, int k,
                            int use_rle, int64_t start_bit, uint8_t* out,
                            int64_t out_cap) {
     if (k <= 0 || k > 32767) return -1;
-    std::vector<uint8_t> db((size_t)n_blocks);
-    std::vector<int16_t> cntv((size_t)n_blocks), npay((size_t)n_blocks);
     int n_chunks = 1;
     #ifdef _OPENMP
     if (n_blocks > 4096) n_chunks = omp_get_max_threads();
     #endif
     const int64_t per = (n_blocks + n_chunks - 1) / n_chunks;
     std::vector<int64_t> cstart((size_t)n_chunks + 1);
+    // Single pass over the coefficients: stats + record emit into a
+    // chunk-local buffer per block (one read of coeffs instead of two),
+    // then bit-splice each chunk to its prefix offset.
+    std::vector<std::unique_ptr<uint8_t[]>> cbuf((size_t)n_chunks);
+    const int64_t cap_bytes = (per * (4 + 33 + (int64_t)k * 33) + 7) / 8 + 16;
 
     TSAN_HB_RELEASE();
     #ifdef _OPENMP
@@ -2024,10 +2234,15 @@ int64_t encode_pack_blocks(const int32_t* coeffs, int64_t n_blocks, int k,
         const int64_t lo = (int64_t)ci * per;
         const int64_t hi = lo + per < n_blocks ? lo + per : n_blocks;
         int64_t bits = 0;
+        uint8_t* lb = nullptr;
+        if (lo < hi) {
+            cbuf[(size_t)ci].reset(new uint8_t[(size_t)cap_bytes]);
+            lb = cbuf[(size_t)ci].get();
+        }
+        BitEmitter em(lb, 0, /*exclusive=*/true);
         for (int64_t nb = lo; nb < hi; nb++)
-            bits += block_stats_one(coeffs + nb * k, k, use_rle,
-                                    &db[(size_t)nb], &cntv[(size_t)nb],
-                                    &npay[(size_t)nb]);
+            bits += emit_block_one(coeffs + nb * k, k, use_rle, em);
+        if (lb) em.flush();
         cstart[(size_t)ci + 1] = bits;
         TSAN_HB_RELEASE();
     }
@@ -2044,10 +2259,9 @@ int64_t encode_pack_blocks(const int32_t* coeffs, int64_t n_blocks, int k,
     #endif
     for (int ci = 0; ci < n_chunks; ci++) {
         TSAN_HB_ACQUIRE();
-        const int64_t lo = (int64_t)ci * per;
-        const int64_t hi = lo + per < n_blocks ? lo + per : n_blocks;
-        emit_block_range(coeffs, lo, hi, k, use_rle, db.data(), cntv.data(),
-                         npay.data(), cstart[(size_t)ci], out);
+        if (cbuf[(size_t)ci])
+            bit_splice(out, cstart[(size_t)ci], cbuf[(size_t)ci].get(),
+                       cstart[(size_t)ci + 1] - cstart[(size_t)ci]);
         TSAN_HB_RELEASE();
     }
     TSAN_HB_ACQUIRE();
@@ -2076,9 +2290,7 @@ int64_t encode_frame_pack(const uint8_t* cur, const uint8_t* pred,
     if (k > 256 || w % block_size || h % block_size) return -1;
     const int64_t wb = w / block_size;
     const int64_t n_blocks = wb * (h / block_size);
-    std::vector<int32_t> czz((size_t)n_blocks * k);
-    std::vector<uint8_t> db((size_t)n_blocks);
-    std::vector<int16_t> cntv((size_t)n_blocks), npay((size_t)n_blocks);
+    const bool want_recon = (recon && pred && wi);
 
     int n_chunks = 1;
     #ifdef _OPENMP
@@ -2086,6 +2298,29 @@ int64_t encode_frame_pack(const uint8_t* cur, const uint8_t* pred,
     #endif
     const int64_t per = (n_blocks + n_chunks - 1) / n_chunks;
     std::vector<int64_t> cstart((size_t)n_chunks + 1);
+
+    // Two layouts (uninitialized scratch either way — std::vector would
+    // memset ~60 MB of czz per ex4 frame that pass A fully overwrites):
+    //  - recon path: per-block coefficients persist in czz for the
+    //    reconstruction pass, records are emitted by a second sweep;
+    //  - no-recon path (I-frames, images, raw-ref P-frames): SINGLE PASS —
+    //    each block is stats'ed + emitted into a chunk-local bit buffer
+    //    while its coefficients are cache-hot, then the chunk buffers are
+    //    bit-spliced to their prefix offsets.  Skips ~2x n_blocks*k*4 B of
+    //    scratch traffic (ex4: 117 MB -> 0, the pack half's memory wall).
+    std::unique_ptr<int32_t[]> czz(
+        want_recon ? new int32_t[(size_t)n_blocks * k] : nullptr);
+    std::unique_ptr<uint8_t[]> db(
+        want_recon ? new uint8_t[(size_t)n_blocks] : nullptr);
+    std::unique_ptr<int16_t[]> cntv(
+        want_recon ? new int16_t[(size_t)n_blocks] : nullptr);
+    std::unique_ptr<int16_t[]> npay(
+        want_recon ? new int16_t[(size_t)n_blocks] : nullptr);
+    std::vector<std::unique_ptr<uint8_t[]>> cbuf(
+        want_recon ? 0 : (size_t)n_chunks);
+    // Worst-case record: 4-bit width + width-bit count + k fields, each of
+    // block_stats_one's honest int32 bound (<= 33 bits).
+    const int64_t cap_bytes = (per * (4 + 33 + (int64_t)k * 33) + 7) / 8 + 16;
 
     TSAN_HB_RELEASE();
     #ifdef _OPENMP
@@ -2097,6 +2332,13 @@ int64_t encode_frame_pack(const uint8_t* cur, const uint8_t* pred,
         const int64_t hi = lo + per < n_blocks ? lo + per : n_blocks;
         int64_t bits = 0;
         double x[256], acc[256];
+        int32_t local_row[256];
+        uint8_t* lb = nullptr;
+        if (!want_recon && lo < hi) {
+            cbuf[(size_t)ci].reset(new uint8_t[(size_t)cap_bytes]);
+            lb = cbuf[(size_t)ci].get();
+        }
+        BitEmitter em(lb, 0, /*exclusive=*/true);
         for (int64_t nb = lo; nb < hi; nb++) {
             const int64_t by = (nb / wb) * block_size;
             const int64_t bx = (nb % wb) * block_size;
@@ -2119,7 +2361,8 @@ int64_t encode_frame_pack(const uint8_t* cur, const uint8_t* pred,
             // Reference accumulation order (algo.cpp:309-331; no FMA —
             // built with -ffp-contract=off), then *scale, /quant,
             // trunc-based round-half-away (Block.cpp:148-153).
-            int32_t* row = czz.data() + (size_t)nb * k;
+            int32_t* row = want_recon ? czz.get() + (size_t)nb * k
+                                      : local_row;
 #if defined(__AVX512F__)
             if (k == 16) {
                 dctk_quant_avx512<16>(x, wf, scale, quant, zz, row);
@@ -2147,9 +2390,14 @@ int64_t encode_frame_pack(const uint8_t* cur, const uint8_t* pred,
                                        ? (z >= 0.0 ? t + 1.0 : t - 1.0) : t);
                 }
             }
-            bits += block_stats_one(row, k, use_rle, &db[(size_t)nb],
-                                    &cntv[(size_t)nb], &npay[(size_t)nb]);
+            if (want_recon)
+                bits += block_stats_any(row, k, use_rle, &db[(size_t)nb],
+                                        &cntv[(size_t)nb],
+                                        &npay[(size_t)nb]);
+            else
+                bits += emit_block_one(row, k, use_rle, em);
         }
+        if (!want_recon && lb) em.flush();
         cstart[(size_t)ci + 1] = bits;
         TSAN_HB_RELEASE();
     }
@@ -2178,16 +2426,22 @@ int64_t encode_frame_pack(const uint8_t* cur, const uint8_t* pred,
     #endif
     for (int ci = 0; ci < n_chunks; ci++) {
         TSAN_HB_ACQUIRE();
-        const int64_t lo = (int64_t)ci * per;
-        const int64_t hi = lo + per < n_blocks ? lo + per : n_blocks;
-        emit_block_range(czz.data(), lo, hi, k, use_rle, db.data(),
-                         cntv.data(), npay.data(), cstart[(size_t)ci], out);
+        if (want_recon) {
+            const int64_t lo = (int64_t)ci * per;
+            const int64_t hi = lo + per < n_blocks ? lo + per : n_blocks;
+            emit_block_range(czz.get(), lo, hi, k, use_rle, db.get(),
+                             cntv.get(), npay.get(), cstart[(size_t)ci],
+                             out);
+        } else if (cbuf[(size_t)ci]) {
+            bit_splice(out, cstart[(size_t)ci], cbuf[(size_t)ci].get(),
+                       cstart[(size_t)ci + 1] - cstart[(size_t)ci]);
+        }
         TSAN_HB_RELEASE();
     }
     TSAN_HB_ACQUIRE();
 
-    if (recon && pred && wi) {
-        if (idct_recon_exact(czz.data(), n_blocks, block_size, zz, wi,
+    if (want_recon) {
+        if (idct_recon_exact(czz.get(), n_blocks, block_size, zz, wi,
                              quant, pred, h, w, recon) < 0) return -1;
     }
     return total;

@@ -127,6 +127,36 @@ def test_canonical_codes_prefix_free():
                 assert not b.startswith(a)
 
 
+def test_native_code_lengths_matches_python():
+    """The native tree build must be bit-identical to the Python fallback
+    (same packed-key heap semantics) across skewed/sparse/deep histograms."""
+    from imageencoder_tpu.ops.huffman import _py_code_lengths_tree
+    from imageencoder_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(11)
+    for it in range(400):
+        style = it % 5
+        if style == 0:
+            freqs = rng.integers(0, 1000, 256)
+        elif style == 1:
+            freqs = np.zeros(256, np.int64)
+            k = int(rng.integers(2, 256))
+            freqs[rng.choice(256, k, replace=False)] = rng.integers(1, 10, k)
+        elif style == 2:
+            freqs = rng.zipf(1.3, 256).clip(0, 10**7).astype(np.int64)
+        elif style == 3:  # deep-tree profiles (exponential spread)
+            freqs = (2.0 ** rng.uniform(0, 45, 256)).astype(np.int64)
+        else:
+            freqs = rng.integers(0, 3, 256)
+        if np.count_nonzero(freqs) < 2:
+            continue
+        assert np.array_equal(
+            _py_code_lengths_tree(freqs),
+            native.huffman_code_lengths_native(freqs)), it
+
+
 def test_device_huffman_matches_host():
     import jax.numpy as jnp
 
