@@ -598,11 +598,31 @@ static inline void dctk_quant_avx512(const double* x, const double* wf,
     const __m512d zero = _mm512_setzero_pd();
     const __m512d one = _mm512_set1_pd(1.0);
     const __m512d mone = _mm512_set1_pd(-1.0);
+    const __m512d sgn = _mm512_set1_pd(-0.0);
+    const __m512d guard = _mm512_set1_pd(0.5 - 0x1p-40);
     alignas(32) int32_t rm[K];
     for (int v = 0; v < NV; v++) {
+        const __m512d y = _mm512_mul_pd(a[v], _mm512_loadu_pd(scale + 8 * v));
+        // Zero-lane fast path around the expensive vdivpd (~16-cycle
+        // throughput, the epilogue's dominant cost): |y| < fl(g*q) with
+        // g = 0.5 - 2^-40 proves the true ratio |y/q| < 0.5 - ~2^-41,
+        // hence the ROUNDED quotient z = fl(y/q) (true ratio +- half an
+        // ulp) stays strictly inside (-0.5, 0.5) — the whole vector
+        // quantizes to zero (trunc gives +-0, |d| < 0.5, (int32)(+-0.0)
+        // == 0), bit-identical to running the division.  High-frequency
+        // vectors on natural images are almost always all zero, so the
+        // divide and the round chain are skipped outright.
+        const __mmask8 nzm = _mm512_cmp_pd_mask(
+            _mm512_andnot_pd(sgn, y),
+            _mm512_mul_pd(guard, _mm512_loadu_pd(quant + 8 * v)),
+            _CMP_GE_OQ);
+        if (!nzm) {
+            _mm256_store_si256((__m256i*)(rm + 8 * v),
+                               _mm256_setzero_si256());
+            continue;
+        }
         const __m512d z = _mm512_div_pd(
-            _mm512_mul_pd(a[v], _mm512_loadu_pd(scale + 8 * v)),
-            _mm512_loadu_pd(quant + 8 * v));
+            y, _mm512_loadu_pd(quant + 8 * v));
         const __m512d t = _mm512_roundscale_pd(z, _MM_FROUND_TO_ZERO
                                                       | _MM_FROUND_NO_EXC);
         const __m512d d = _mm512_sub_pd(z, t);
@@ -615,6 +635,74 @@ static inline void dctk_quant_avx512(const double* x, const double* wf,
         _mm256_store_si256((__m256i*)(rm + 8 * v), _mm512_cvttpd_epi32(r));
     }
     for (int j = 0; j < K; j++) row[j] = rm[zz[j]];
+}
+
+// NB-block interleaved twin of dctk_quant_avx512: the accumulate loop is
+// bound by the f64 add LATENCY of K/8 dependent chains per block (the
+// c-ascending order is parity-mandated, algo.cpp:309-331), so running NB
+// independent blocks' chains side by side — sharing each weight-row load —
+// hides it.  Per-element operations and their order are identical to the
+// single-block kernel, so coefficients stay bit-identical.
+template <int K, int NB>
+static inline void dctk_quant_avx512_nb(const double* x /* [NB][K] */,
+                                        const double* wf,
+                                        const double* scale,
+                                        const double* quant,
+                                        const int32_t* zz,
+                                        int32_t* rows /* [NB][K] */) {
+    constexpr int NV = K / 8;
+    __m512d a[NB][NV];
+    for (int b = 0; b < NB; b++)
+        for (int v = 0; v < NV; v++) a[b][v] = _mm512_setzero_pd();
+    for (int c = 0; c < K; c++) {
+        const double* wr = wf + (size_t)c * K;
+        __m512d wv[NV];
+        for (int v = 0; v < NV; v++) wv[v] = _mm512_loadu_pd(wr + 8 * v);
+        for (int b = 0; b < NB; b++) {
+            const __m512d xv = _mm512_set1_pd(x[(size_t)b * K + c]);
+            for (int v = 0; v < NV; v++)
+                a[b][v] = _mm512_add_pd(a[b][v],
+                                        _mm512_mul_pd(xv, wv[v]));
+        }
+    }
+    const __m512d half = _mm512_set1_pd(0.5);
+    const __m512d nhalf = _mm512_set1_pd(-0.5);
+    const __m512d zero = _mm512_setzero_pd();
+    const __m512d one = _mm512_set1_pd(1.0);
+    const __m512d mone = _mm512_set1_pd(-1.0);
+    const __m512d sgn = _mm512_set1_pd(-0.0);
+    const __m512d guard = _mm512_set1_pd(0.5 - 0x1p-40);
+    alignas(32) int32_t rm[K];
+    for (int b = 0; b < NB; b++) {
+        for (int v = 0; v < NV; v++) {
+            const __m512d y =
+                _mm512_mul_pd(a[b][v], _mm512_loadu_pd(scale + 8 * v));
+            const __mmask8 nzm = _mm512_cmp_pd_mask(
+                _mm512_andnot_pd(sgn, y),
+                _mm512_mul_pd(guard, _mm512_loadu_pd(quant + 8 * v)),
+                _CMP_GE_OQ);
+            if (!nzm) {
+                _mm256_store_si256((__m256i*)(rm + 8 * v),
+                                   _mm256_setzero_si256());
+                continue;
+            }
+            const __m512d z =
+                _mm512_div_pd(y, _mm512_loadu_pd(quant + 8 * v));
+            const __m512d t = _mm512_roundscale_pd(
+                z, _MM_FROUND_TO_ZERO | _MM_FROUND_NO_EXC);
+            const __m512d d = _mm512_sub_pd(z, t);
+            const __mmask8 hm = _mm512_cmp_pd_mask(d, half, _CMP_GE_OQ)
+                                | _mm512_cmp_pd_mask(d, nhalf, _CMP_LE_OQ);
+            const __m512d inc = _mm512_mask_blend_pd(
+                _mm512_cmp_pd_mask(z, zero, _CMP_GE_OQ), mone, one);
+            const __m512d r = _mm512_add_pd(
+                t, _mm512_mask_blend_pd(hm, zero, inc));
+            _mm256_store_si256((__m256i*)(rm + 8 * v),
+                               _mm512_cvttpd_epi32(r));
+        }
+        int32_t* row = rows + (size_t)b * K;
+        for (int j = 0; j < K; j++) row[j] = rm[zz[j]];
+    }
 }
 
 template <int BS>
@@ -2032,24 +2120,50 @@ int64_t dct_quantize_exact(const uint8_t* blocks, int64_t n_blocks, int k,
                            const double* quant, const int32_t* zz,
                            int32_t* out) {
     if (k > 256) return -1;
+#if defined(__AVX512F__)
+    if ((k == 16 || k == 64) && zz) {
+        // Interleaved groups (4x 4x4 / 2x 8x8 blocks): see
+        // dctk_quant_avx512_nb.
+        const int G = k == 16 ? 4 : 2;
+        const int64_t ng = (n_blocks + G - 1) / G;
+        TSAN_HB_RELEASE();
+        #pragma omp parallel for schedule(static) if (n_blocks > 1024)
+        for (int64_t g = 0; g < ng; g++) {
+            TSAN_HB_ACQUIRE();
+            const int64_t n0 = g * G;
+            const int gn = (int)(n_blocks - n0 < G ? n_blocks - n0 : G);
+            alignas(64) double xd[4 * 64];
+            for (int b = 0; b < gn; b++) {
+                const uint8_t* x = blocks + (n0 + b) * k;
+                for (int c = 0; c < k; c++)
+                    xd[(size_t)b * k + c] = (double)x[c] - 128.0;
+            }
+            int32_t* rows = out + n0 * k;
+            if (gn == 4 && k == 16)
+                dctk_quant_avx512_nb<16, 4>(xd, w, scale, quant, zz, rows);
+            else if (gn == 2 && k == 64)
+                dctk_quant_avx512_nb<64, 2>(xd, w, scale, quant, zz, rows);
+            else
+                for (int b = 0; b < gn; b++) {
+                    if (k == 16)
+                        dctk_quant_avx512<16>(xd + (size_t)b * k, w, scale,
+                                              quant, zz, rows + b * k);
+                    else
+                        dctk_quant_avx512<64>(xd + (size_t)b * k, w, scale,
+                                              quant, zz, rows + b * k);
+                }
+            TSAN_HB_RELEASE();
+        }
+        TSAN_HB_ACQUIRE();
+        return 0;
+    }
+#endif
     TSAN_HB_RELEASE();
     #pragma omp parallel for schedule(static) if (n_blocks > 1024)
     for (int64_t n = 0; n < n_blocks; n++) {
         TSAN_HB_ACQUIRE();
         const uint8_t* x = blocks + n * k;
         int32_t* row = out + n * k;
-#if defined(__AVX512F__)
-        if ((k == 16 || k == 64) && zz) {
-            alignas(64) double xd[64];
-            for (int c = 0; c < k; c++) xd[c] = (double)x[c] - 128.0;
-            if (k == 16)
-                dctk_quant_avx512<16>(xd, w, scale, quant, zz, row);
-            else
-                dctk_quant_avx512<64>(xd, w, scale, quant, zz, row);
-            TSAN_HB_RELEASE();
-            continue;
-        }
-#endif
         double acc[256];
         for (int uv = 0; uv < k; uv++) acc[uv] = 0.0;
         for (int c = 0; c < k; c++) {
@@ -2083,24 +2197,48 @@ int64_t dct_quantize_exact_f64(const double* blocks, int64_t n_blocks,
                                const double* quant, const int32_t* zz,
                                int32_t* out) {
     if (k > 256) return -1;
+#if defined(__AVX512F__)
+    if ((k == 16 || k == 64) && zz) {
+        const int G = k == 16 ? 4 : 2;
+        const int64_t ng = (n_blocks + G - 1) / G;
+        TSAN_HB_RELEASE();
+        #pragma omp parallel for schedule(static) if (n_blocks > 1024)
+        for (int64_t g = 0; g < ng; g++) {
+            TSAN_HB_ACQUIRE();
+            const int64_t n0 = g * G;
+            const int gn = (int)(n_blocks - n0 < G ? n_blocks - n0 : G);
+            alignas(64) double xd[4 * 64];
+            for (int b = 0; b < gn; b++) {
+                const double* x = blocks + (n0 + b) * k;
+                for (int c = 0; c < k; c++)
+                    xd[(size_t)b * k + c] = x[c] - 128.0;
+            }
+            int32_t* rows = out + n0 * k;
+            if (gn == 4 && k == 16)
+                dctk_quant_avx512_nb<16, 4>(xd, w, scale, quant, zz, rows);
+            else if (gn == 2 && k == 64)
+                dctk_quant_avx512_nb<64, 2>(xd, w, scale, quant, zz, rows);
+            else
+                for (int b = 0; b < gn; b++) {
+                    if (k == 16)
+                        dctk_quant_avx512<16>(xd + (size_t)b * k, w, scale,
+                                              quant, zz, rows + b * k);
+                    else
+                        dctk_quant_avx512<64>(xd + (size_t)b * k, w, scale,
+                                              quant, zz, rows + b * k);
+                }
+            TSAN_HB_RELEASE();
+        }
+        TSAN_HB_ACQUIRE();
+        return 0;
+    }
+#endif
     TSAN_HB_RELEASE();
     #pragma omp parallel for schedule(static) if (n_blocks > 1024)
     for (int64_t n = 0; n < n_blocks; n++) {
         TSAN_HB_ACQUIRE();
         const double* x = blocks + n * k;
         int32_t* row = out + n * k;
-#if defined(__AVX512F__)
-        if ((k == 16 || k == 64) && zz) {
-            alignas(64) double xd[64];
-            for (int c = 0; c < k; c++) xd[c] = x[c] - 128.0;
-            if (k == 16)
-                dctk_quant_avx512<16>(xd, w, scale, quant, zz, row);
-            else
-                dctk_quant_avx512<64>(xd, w, scale, quant, zz, row);
-            TSAN_HB_RELEASE();
-            continue;
-        }
-#endif
         double acc[256];
         for (int uv = 0; uv < k; uv++) acc[uv] = 0.0;
         for (int c = 0; c < k; c++) {
@@ -2339,7 +2477,77 @@ int64_t encode_frame_pack(const uint8_t* cur, const uint8_t* pred,
             lb = cbuf[(size_t)ci].get();
         }
         BitEmitter em(lb, 0, /*exclusive=*/true);
-        for (int64_t nb = lo; nb < hi; nb++) {
+#if defined(__AVX512F__)
+        const int G = (k == 16) ? 4 : (k == 64 ? 2 : 1);
+        alignas(64) double xq[4 * 64];
+        int32_t rowq[4 * 64];
+#else
+        const int G = 1;
+#endif
+        for (int64_t nb0 = lo; nb0 < hi; ) {
+            const int gn = (int)(hi - nb0 < G ? hi - nb0 : G);
+#if defined(__AVX512F__)
+            if (G > 1) {
+                // Interleaved group: load gn blocks' (residual) pixels
+                // with the -128 bias (SUBTRACT_128, Block.cpp:139-153;
+                // cur - pred is integer-exact in f64), transform together
+                // (dctk_quant_avx512_nb: shared weight loads, independent
+                // accumulator chains), then stats/emit per block.
+                for (int b = 0; b < gn; b++) {
+                    const int64_t nb = nb0 + b;
+                    const int64_t by = (nb / wb) * block_size;
+                    const int64_t bx = (nb % wb) * block_size;
+                    const uint8_t* cb = cur + by * w + bx;
+                    double* xd = xq + (size_t)b * k;
+                    if (pred) {
+                        const uint8_t* pb = pred + by * w + bx;
+                        for (int r = 0; r < block_size; r++)
+                            for (int c2 = 0; c2 < block_size; c2++)
+                                xd[r * block_size + c2] =
+                                    ((double)cb[(int64_t)r * w + c2]
+                                     - (double)pb[(int64_t)r * w + c2])
+                                    - 128.0;
+                    } else {
+                        for (int r = 0; r < block_size; r++)
+                            for (int c2 = 0; c2 < block_size; c2++)
+                                xd[r * block_size + c2] =
+                                    (double)cb[(int64_t)r * w + c2] - 128.0;
+                    }
+                }
+                int32_t* rows = want_recon ? czz.get() + (size_t)nb0 * k
+                                           : rowq;
+                if (gn == 4 && k == 16)
+                    dctk_quant_avx512_nb<16, 4>(xq, wf, scale, quant, zz,
+                                                rows);
+                else if (gn == 2 && k == 64)
+                    dctk_quant_avx512_nb<64, 2>(xq, wf, scale, quant, zz,
+                                                rows);
+                else
+                    for (int b = 0; b < gn; b++) {
+                        if (k == 16)
+                            dctk_quant_avx512<16>(xq + (size_t)b * k, wf,
+                                                  scale, quant, zz,
+                                                  rows + (size_t)b * k);
+                        else
+                            dctk_quant_avx512<64>(xq + (size_t)b * k, wf,
+                                                  scale, quant, zz,
+                                                  rows + (size_t)b * k);
+                    }
+                for (int b = 0; b < gn; b++) {
+                    const int32_t* row = rows + (size_t)b * k;
+                    if (want_recon)
+                        bits += block_stats_any(
+                            row, k, use_rle, &db[(size_t)(nb0 + b)],
+                            &cntv[(size_t)(nb0 + b)],
+                            &npay[(size_t)(nb0 + b)]);
+                    else
+                        bits += emit_block_one(row, k, use_rle, em);
+                }
+                nb0 += gn;
+                continue;
+            }
+#endif
+            const int64_t nb = nb0;
             const int64_t by = (nb / wb) * block_size;
             const int64_t bx = (nb % wb) * block_size;
             const uint8_t* cb = cur + by * w + bx;
@@ -2363,13 +2571,6 @@ int64_t encode_frame_pack(const uint8_t* cur, const uint8_t* pred,
             // trunc-based round-half-away (Block.cpp:148-153).
             int32_t* row = want_recon ? czz.get() + (size_t)nb * k
                                       : local_row;
-#if defined(__AVX512F__)
-            if (k == 16) {
-                dctk_quant_avx512<16>(x, wf, scale, quant, zz, row);
-            } else if (k == 64) {
-                dctk_quant_avx512<64>(x, wf, scale, quant, zz, row);
-            } else
-#endif
             {
                 for (int uv = 0; uv < k; uv++) acc[uv] = 0.0;
                 for (int c2 = 0; c2 < k; c2++) {
@@ -2396,6 +2597,7 @@ int64_t encode_frame_pack(const uint8_t* cur, const uint8_t* pred,
                                         &npay[(size_t)nb]);
             else
                 bits += emit_block_one(row, k, use_rle, em);
+            nb0 += 1;
         }
         if (!want_recon && lb) em.flush();
         cstart[(size_t)ci + 1] = bits;
