@@ -128,6 +128,31 @@ struct BitEmitter {
         }
     }
 
+    // Two appends per flush check (b0 + b1 <= 30 keeps the accumulator
+    // within 64 bits from any na < 32): halves the while-loop overhead on
+    // streams of short fields (Huffman codes average ~6 bits).
+    inline void put2(int b0, uint64_t v0, int b1, uint64_t v1) {
+        acc = ((acc << b0) | (v0 & ((1ull << b0) - 1)));
+        acc = ((acc << b1) | (v1 & ((1ull << b1) - 1)));
+        na += b0 + b1;
+        while (na >= 32) {
+            const uint32_t w32 = (uint32_t)(acc >> (na - 32));
+            if (first) {
+                __atomic_fetch_or(&out[byte_pos], (uint8_t)(w32 >> 24),
+                                  __ATOMIC_RELAXED);
+                out[byte_pos + 1] = (uint8_t)(w32 >> 16);
+                out[byte_pos + 2] = (uint8_t)(w32 >> 8);
+                out[byte_pos + 3] = (uint8_t)w32;
+                first = false;
+            } else {
+                const uint32_t be = __builtin_bswap32(w32);
+                std::memcpy(&out[byte_pos], &be, 4);
+            }
+            byte_pos += 4;
+            na -= 32;
+        }
+    }
+
     inline void flush() {  // partial tail byte is shared with the next writer
         while (na >= 8) {
             const uint8_t by = (uint8_t)(acc >> (na - 8));
@@ -2696,7 +2721,13 @@ int64_t huffman_pack_bytes(const uint8_t* data, int64_t n,
         const int64_t lo = (int64_t)ci * per;
         const int64_t hi = lo + per < n ? lo + per : n;
         BitEmitter em(out, cstart[(size_t)ci]);
-        for (int64_t i = lo; i < hi; i++) {
+        int64_t i = lo;
+        for (; i + 1 < hi; i += 2) {
+            const uint8_t b0 = data[i], b1 = data[i + 1];
+            em.put2(code_lens[b0], code_words[b0],
+                    code_lens[b1], code_words[b1]);
+        }
+        if (i < hi) {
             const uint8_t b = data[i];
             em.put(code_lens[b], code_words[b]);
         }
