@@ -349,6 +349,8 @@ static inline int64_t emit_block_one(const int32_t* c, int k, int use_rle,
     const int64_t bits = block_stats_any(c, k, use_rle, &dbv, &cnt1, &np1);
     em.put(4, (uint64_t)dbv);
     if (use_rle) em.put(dbv, (uint64_t)(int64_t)cnt1);
+    // (Paired put2 appends measured NEUTRAL here twice — the record emit
+    // is bound by the accumulator dependency chain, not flush checks.)
     for (int j = 0; j < np1; j++)
         em.put(dbv, (uint64_t)(int64_t)c[j]);
     return bits;
