@@ -2505,8 +2505,8 @@ int64_t encode_frame_pack(const uint8_t* cur, const uint8_t* pred,
         }
         BitEmitter em(lb, 0, /*exclusive=*/true);
 #if defined(__AVX512F__)
-        const int G = (k == 16) ? 4 : (k == 64 ? 2 : 1);
-        alignas(64) double xq[4 * 64];
+        const int G = (k == 16) ? 8 : (k == 64 ? 2 : 1);
+        alignas(64) double xq[8 * 16 > 4 * 64 ? 8 * 16 : 4 * 64];
         int32_t rowq[4 * 64];
 #else
         const int G = 1;
@@ -2543,7 +2543,10 @@ int64_t encode_frame_pack(const uint8_t* cur, const uint8_t* pred,
                 }
                 int32_t* rows = want_recon ? czz.get() + (size_t)nb0 * k
                                            : rowq;
-                if (gn == 4 && k == 16)
+                if (gn == 8 && k == 16)
+                    dctk_quant_avx512_nb<16, 8>(xq, wf, scale, quant, zz,
+                                                rows);
+                else if (gn == 4 && k == 16)
                     dctk_quant_avx512_nb<16, 4>(xq, wf, scale, quant, zz,
                                                 rows);
                 else if (gn == 2 && k == 64)
