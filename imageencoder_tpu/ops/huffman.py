@@ -53,11 +53,19 @@ def code_lengths(freqs: np.ndarray) -> np.ndarray:
     test_huffman::test_native_code_lengths_matches_python);
     :func:`_py_code_lengths_tree` is its fallback.
     """
+    lengths = None
     try:
         from ..runtime.native import huffman_code_lengths_native
 
         lengths = huffman_code_lengths_native(np.asarray(freqs))
-    except ImportError:
+    except ValueError:
+        raise  # < 2 symbols — same contract as the Python fallback
+    except Exception:
+        # Any native failure (lib missing, stale .so without this symbol,
+        # loader error) degrades to the Python tree build, matching the
+        # other native call sites.
+        pass
+    if lengths is None:
         lengths = _py_code_lengths_tree(freqs)
     if lengths.max() > MAX_CODE_LEN:
         lengths = _limit_lengths(lengths, MAX_CODE_LEN)

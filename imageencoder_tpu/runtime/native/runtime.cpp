@@ -103,13 +103,11 @@ struct BitEmitter {
         : out(o), byte_pos(bit_pos >> 3), acc(0), na((int)(bit_pos & 7)),
           first(!exclusive), excl(exclusive) {}
 
-    inline void put(int b, uint64_t val) {  // b <= 32
-        acc = (acc << b) | (val & ((1ull << b) - 1));
-        na += b;
-        // Flush whole 32-bit groups (4x fewer iterations than per-byte).
-        // Every flushed byte is this writer's exclusive content except
-        // possibly the very first, which may share with the previous
-        // writer's partial tail and is merged with an atomic OR.
+    // Flush whole 32-bit groups (4x fewer iterations than per-byte).
+    // Every flushed byte is this writer's exclusive content except
+    // possibly the very first, which may share with the previous
+    // writer's partial tail and is merged with an atomic OR.
+    inline void flush32() {
         while (na >= 32) {
             const uint32_t w32 = (uint32_t)(acc >> (na - 32));
             if (first) {
@@ -128,6 +126,12 @@ struct BitEmitter {
         }
     }
 
+    inline void put(int b, uint64_t val) {  // b <= 32
+        acc = (acc << b) | (val & ((1ull << b) - 1));
+        na += b;
+        flush32();
+    }
+
     // Two appends per flush check (b0 + b1 <= 30 keeps the accumulator
     // within 64 bits from any na < 32): halves the while-loop overhead on
     // streams of short fields (Huffman codes average ~6 bits).
@@ -135,22 +139,7 @@ struct BitEmitter {
         acc = ((acc << b0) | (v0 & ((1ull << b0) - 1)));
         acc = ((acc << b1) | (v1 & ((1ull << b1) - 1)));
         na += b0 + b1;
-        while (na >= 32) {
-            const uint32_t w32 = (uint32_t)(acc >> (na - 32));
-            if (first) {
-                __atomic_fetch_or(&out[byte_pos], (uint8_t)(w32 >> 24),
-                                  __ATOMIC_RELAXED);
-                out[byte_pos + 1] = (uint8_t)(w32 >> 16);
-                out[byte_pos + 2] = (uint8_t)(w32 >> 8);
-                out[byte_pos + 3] = (uint8_t)w32;
-                first = false;
-            } else {
-                const uint32_t be = __builtin_bswap32(w32);
-                std::memcpy(&out[byte_pos], &be, 4);
-            }
-            byte_pos += 4;
-            na -= 32;
-        }
+        flush32();
     }
 
     inline void flush() {  // partial tail byte is shared with the next writer
@@ -599,77 +588,14 @@ static inline void extract16_fields(const uint8_t* data, int64_t off, int b,
 }
 
 // AVX-512 exact forward transform + quantize + zig-zag (K = 16 for 4x4
-// blocks, 64 for 8x8): the mirror of idct16_accum_avx512 for the encode
-// side.  Accumulation runs in c-ascending order with separate
-// vmulpd/vaddpd (no FMA), then the *scale, /quant, trunc-based
-// round-half-away epilogue element-wise — every per-element operation and
-// its order match the scalar loop, so the coefficients are BIT-IDENTICAL
-// (tests pin both paths).
-template <int K>
-static inline void dctk_quant_avx512(const double* x, const double* wf,
-                                     const double* scale,
-                                     const double* quant,
-                                     const int32_t* zz, int32_t* row) {
-    constexpr int NV = K / 8;
-    __m512d a[NV];
-    for (int v = 0; v < NV; v++) a[v] = _mm512_setzero_pd();
-    for (int c = 0; c < K; c++) {
-        const __m512d xv = _mm512_set1_pd(x[c]);
-        const double* wr = wf + (size_t)c * K;
-        for (int v = 0; v < NV; v++)
-            a[v] = _mm512_add_pd(
-                a[v], _mm512_mul_pd(xv, _mm512_loadu_pd(wr + 8 * v)));
-    }
-    const __m512d half = _mm512_set1_pd(0.5);
-    const __m512d nhalf = _mm512_set1_pd(-0.5);
-    const __m512d zero = _mm512_setzero_pd();
-    const __m512d one = _mm512_set1_pd(1.0);
-    const __m512d mone = _mm512_set1_pd(-1.0);
-    const __m512d sgn = _mm512_set1_pd(-0.0);
-    const __m512d guard = _mm512_set1_pd(0.5 - 0x1p-40);
-    alignas(32) int32_t rm[K];
-    for (int v = 0; v < NV; v++) {
-        const __m512d y = _mm512_mul_pd(a[v], _mm512_loadu_pd(scale + 8 * v));
-        // Zero-lane fast path around the expensive vdivpd (~16-cycle
-        // throughput, the epilogue's dominant cost): |y| < fl(g*q) with
-        // g = 0.5 - 2^-40 proves the true ratio |y/q| < 0.5 - ~2^-41,
-        // hence the ROUNDED quotient z = fl(y/q) (true ratio +- half an
-        // ulp) stays strictly inside (-0.5, 0.5) — the whole vector
-        // quantizes to zero (trunc gives +-0, |d| < 0.5, (int32)(+-0.0)
-        // == 0), bit-identical to running the division.  High-frequency
-        // vectors on natural images are almost always all zero, so the
-        // divide and the round chain are skipped outright.
-        const __mmask8 nzm = _mm512_cmp_pd_mask(
-            _mm512_andnot_pd(sgn, y),
-            _mm512_mul_pd(guard, _mm512_loadu_pd(quant + 8 * v)),
-            _CMP_GE_OQ);
-        if (!nzm) {
-            _mm256_store_si256((__m256i*)(rm + 8 * v),
-                               _mm256_setzero_si256());
-            continue;
-        }
-        const __m512d z = _mm512_div_pd(
-            y, _mm512_loadu_pd(quant + 8 * v));
-        const __m512d t = _mm512_roundscale_pd(z, _MM_FROUND_TO_ZERO
-                                                      | _MM_FROUND_NO_EXC);
-        const __m512d d = _mm512_sub_pd(z, t);
-        const __mmask8 hm = _mm512_cmp_pd_mask(d, half, _CMP_GE_OQ)
-                            | _mm512_cmp_pd_mask(d, nhalf, _CMP_LE_OQ);
-        const __m512d inc = _mm512_mask_blend_pd(
-            _mm512_cmp_pd_mask(z, zero, _CMP_GE_OQ), mone, one);
-        const __m512d r = _mm512_add_pd(t, _mm512_mask_blend_pd(hm, zero,
-                                                                inc));
-        _mm256_store_si256((__m256i*)(rm + 8 * v), _mm512_cvttpd_epi32(r));
-    }
-    for (int j = 0; j < K; j++) row[j] = rm[zz[j]];
-}
-
-// NB-block interleaved twin of dctk_quant_avx512: the accumulate loop is
+// blocks, 64 for 8x8), NB blocks interleaved: the accumulate loop is
 // bound by the f64 add LATENCY of K/8 dependent chains per block (the
-// c-ascending order is parity-mandated, algo.cpp:309-331), so running NB
-// independent blocks' chains side by side — sharing each weight-row load —
-// hides it.  Per-element operations and their order are identical to the
-// single-block kernel, so coefficients stay bit-identical.
+// c-ascending order with separate vmulpd/vaddpd — no FMA — is
+// parity-mandated, algo.cpp:309-331), so running NB independent blocks'
+// chains side by side — sharing each weight-row load — hides it.  Every
+// per-element operation and its order match the scalar loop, so the
+// coefficients are BIT-IDENTICAL for any NB (tests pin both paths); the
+// single-block entry point below is the NB=1 instantiation.
 template <int K, int NB>
 static inline void dctk_quant_avx512_nb(const double* x /* [NB][K] */,
                                         const double* wf,
@@ -730,6 +656,14 @@ static inline void dctk_quant_avx512_nb(const double* x /* [NB][K] */,
         int32_t* row = rows + (size_t)b * K;
         for (int j = 0; j < K; j++) row[j] = rm[zz[j]];
     }
+}
+
+template <int K>
+static inline void dctk_quant_avx512(const double* x, const double* wf,
+                                     const double* scale,
+                                     const double* quant,
+                                     const int32_t* zz, int32_t* row) {
+    dctk_quant_avx512_nb<K, 1>(x, wf, scale, quant, zz, row);
 }
 
 template <int BS>

@@ -157,6 +157,24 @@ def test_native_code_lengths_matches_python():
             native.huffman_code_lengths_native(freqs)), it
 
 
+def test_code_lengths_degrades_without_native(monkeypatch):
+    """A broken native runtime (e.g. a stale .so missing the symbol) must
+    fall back to the Python tree build, not crash the encode; the <2-symbol
+    ValueError contract must survive either way."""
+    from imageencoder_tpu.runtime import native
+
+    def boom(freqs):
+        raise AttributeError("huffman_code_lengths missing from stale lib")
+
+    monkeypatch.setattr(native, "huffman_code_lengths_native", boom)
+    freqs = np.zeros(256, np.int64)
+    freqs[10], freqs[20], freqs[30] = 5, 3, 1
+    lengths = code_lengths(freqs)
+    assert lengths[10] == 1 and lengths[20] == 2 and lengths[30] == 2
+    with pytest.raises(ValueError):
+        code_lengths(np.eye(1, 256, 7, dtype=np.int64)[0])
+
+
 def test_device_huffman_matches_host():
     import jax.numpy as jnp
 
