@@ -129,7 +129,11 @@ def encode_image(img: np.ndarray, quant: QuantMatrix, use_rle: bool = True,
             k = block_size * block_size
             n_blocks = (h // block_size) * (w // block_size)
             cap_bits = writer.position + 64 + n_blocks * (4 + 17 * (k + 1))
-            out = np.zeros((cap_bits + 7) // 8, dtype=np.uint8)
+            # Uninitialized on purpose: the native packer plain-stores
+            # every byte it owns and pre-zeroes the atomic-OR merge bytes
+            # itself (zero_merge_bytes) — memset-ing this worst-case
+            # capacity (~8.5 MB on ex4) cost ~1 ms per encode.
+            out = np.empty((cap_bits + 7) // 8, dtype=np.uint8)
             prefix, _ = bitpack.pack_fields(
                 np.asarray(writer.values, dtype=np.int64),
                 np.asarray(writer.nbits, dtype=np.int64))

@@ -186,7 +186,10 @@ def _encode_video_host_native(frames, quant: QuantMatrix, use_rle: bool,
 
     cap_bits = writer.position + 64 + n_frames * (
         2 * n_macro * mb + n_micro * (4 + 17 * (k + 1)))
-    out = np.zeros((cap_bits + 7) // 8, dtype=np.uint8)
+    # Uninitialized on purpose: the native packer pre-zeroes its atomic-OR
+    # merge bytes (zero_merge_bytes) and plain-stores everything else, so
+    # the worst-case capacity need not be memset (it is ~4x the stream).
+    out = np.empty((cap_bits + 7) // 8, dtype=np.uint8)
     prefix, _ = bitpack.pack_fields(np.asarray(writer.values, dtype=np.int64),
                                     np.asarray(writer.nbits, dtype=np.int64))
     out[:len(prefix)] = np.frombuffer(prefix, dtype=np.uint8)

@@ -440,10 +440,15 @@ def pack_fields_native(values: np.ndarray, nbits: np.ndarray,
     values = np.ascontiguousarray(values, dtype=np.int64)
     nbits32 = np.ascontiguousarray(nbits, dtype=np.int32)
     total_bits = int(np.sum(nbits32, dtype=np.int64))
-    nbytes = (total_bits + 7) // 8
+    data_bytes = (total_bits + 7) // 8
+    nbytes = data_bytes
     if pad_to_bytes is not None:
         nbytes = max(nbytes, pad_to_bytes)
-    out = np.zeros(nbytes, dtype=np.uint8)
+    # Uninitialized on purpose: pack_fields writes every data byte with
+    # plain stores (its chunked path pre-zeroes the atomic-OR merge
+    # bytes); only the pad_to_bytes tail needs explicit zeros.
+    out = np.empty(nbytes, dtype=np.uint8)
+    out[data_bytes:] = 0
     rc = lib.pack_fields(
         values.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         nbits32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -470,7 +475,9 @@ def huffman_pack_bytes_native(data: bytes, code_words: np.ndarray,
     cw = np.ascontiguousarray(code_words, dtype=np.uint32)
     cl = np.ascontiguousarray(code_lens, dtype=np.uint8)
     nbytes = (total_bits + 7) // 8
-    out = np.zeros(nbytes, dtype=np.uint8)
+    # Uninitialized on purpose: huffman_pack_bytes pre-zeroes its chunk
+    # merge bytes and plain-stores every other byte past the prefix.
+    out = np.empty(nbytes, dtype=np.uint8)
     out[:len(prefix)] = np.frombuffer(prefix, dtype=np.uint8)
     rc = lib.huffman_pack_bytes(
         d.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(d),
@@ -621,7 +628,9 @@ def encode_frame_pack_native(cur: np.ndarray, pred: np.ndarray | None,
                              recon_out: np.ndarray | None, start_bit: int,
                              out: np.ndarray) -> int:
     """One-pass native frame encode into the shared stream buffer `out`
-    (zero-initialized u8, header prefix pre-placed): residual/pixel read +
+    (u8, may be uninitialized past the pre-placed header prefix — the
+    native side pre-zeroes its atomic-OR merge bytes): residual/pixel
+    read +
     exact f64 DCT + quantize + RLE stats + mvec fields + chunk-parallel
     record bitpack, plus the reconstruction when `recon_out` is given.
     Returns the new total bit position.  Bit-identical to the

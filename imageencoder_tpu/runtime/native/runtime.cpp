@@ -82,11 +82,13 @@ struct BitReader {
     }
 };
 
-// MSB-first bit emitter into a shared zero-initialized buffer.  The first
-// flushed byte and the partial tail byte may be shared with a neighboring
-// writer (chunk or previous stream segment) and are merged with relaxed
-// atomic ORs; interior bytes are exclusively owned plain stores.  This is
-// the one emit discipline every parallel packer in this file uses.
+// MSB-first bit emitter into a shared buffer.  The first flushed byte and
+// the partial tail byte may be shared with a neighboring writer (chunk or
+// previous stream segment) and are merged with relaxed atomic ORs — those
+// merge targets must hold 0 (or the neighbor's bits) beforehand, which
+// zero_merge_bytes below guarantees without a full-buffer memset;
+// interior bytes are exclusively owned plain stores.  This is the one
+// emit discipline every parallel packer in this file uses.
 struct BitEmitter {
     uint8_t* out;
     int64_t byte_pos;
@@ -164,10 +166,11 @@ struct BitEmitter {
 
 // Copy `nbits` MSB-first bits from src (bit 0 onward; bits past nbits in
 // src's last byte are zero) into dst at absolute bit dst_bit.  dst is the
-// shared zero-initialized stream: the first and last touched bytes may be
-// shared with neighboring writers and are merged with relaxed atomic ORs;
-// interior bytes are exclusively owned plain stores (same ownership rule
-// as BitEmitter).  This is the splice step of the single-pass encoder.
+// shared stream: the first and last touched bytes may be shared with
+// neighboring writers and are merged with relaxed atomic ORs (targets
+// pre-zeroed by zero_merge_bytes); interior bytes are exclusively owned
+// plain stores (same ownership rule as BitEmitter).  This is the splice
+// step of the single-pass encoder.
 static void bit_splice(uint8_t* dst, int64_t dst_bit, const uint8_t* src,
                        int64_t nbits) {
     if (nbits <= 0) return;
@@ -210,6 +213,34 @@ static void bit_splice(uint8_t* dst, int64_t dst_bit, const uint8_t* src,
         __atomic_fetch_or(&dst[L], last, __ATOMIC_RELAXED);
     else
         dst[L] = last;
+}
+
+// The packers above write every byte of their output span exactly once
+// with a plain store, EXCEPT segment-boundary bytes (a chunk's first /
+// partial-tail byte, BitEmitter's first byte) which are merged with
+// relaxed atomic ORs.  Zeroing exactly those merge targets up front lets
+// callers pass an UNINITIALIZED stream buffer instead of memset-ing the
+// whole worst-case capacity (~8.5 MB per ex4 frame).  `bounds` = every
+// segment edge in ascending bit order: bounds[0] is the call's start bit,
+// bounds[nb-1] its end bit, the rest the internal chunk boundaries.  The
+// byte holding the call's start is left alone when the call starts
+// mid-byte (it already holds the caller's earlier stream content, which
+// the first writer ORs into); the byte at a byte-aligned end is never
+// written by any segment (and may sit past the buffer), so it is skipped.
+static void zero_merge_bytes(uint8_t* out, const int64_t* bounds, int nb) {
+    if (nb <= 0) return;
+    const int64_t start = bounds[0], end = bounds[nb - 1];
+    const bool keep_start_byte = (start & 7) != 0;
+    int64_t prev = INT64_MIN;
+    for (int i = 0; i < nb; i++) {
+        const int64_t p = bounds[i];
+        const int64_t B = p >> 3;
+        if (B == prev) continue;
+        prev = B;
+        if (keep_start_byte && B == (start >> 3)) continue;
+        if (p == end && (end & 7) == 0) continue;
+        out[B] = 0;
+    }
 }
 
 // Per-block RLE stats (Block.cpp:186-232 incl. the trailing-strip quirk and
@@ -412,8 +443,11 @@ constexpr int FSM_GROUP = 4;
 struct FsmTables {
     std::vector<int32_t> child;    // 2 per node; -1 = absent
     std::vector<int32_t> symbol;   // per node; -1 = internal
-    std::vector<int32_t> step_tab; // n_nodes * 256
-    std::vector<uint8_t> sym_tab;  // n_nodes * 256 * 8
+    // Uninitialized buffers (not vectors): every entry is written by the
+    // composition loop, and zero-filling the ~1.5 MB first cost a
+    // measurable slice of the ~0.4 ms table build.
+    std::unique_ptr<int32_t[]> step_tab; // n_nodes * 256
+    std::unique_ptr<uint8_t[]> sym_tab;  // n_nodes * 256 * 8
     int n_nodes = 0;
 };
 
@@ -466,8 +500,8 @@ static void build_fsm_tables(const int32_t* syms, const int32_t* words,
             step4[(size_t)st * 16 + nib] = (nd << 4) | c;
         }
     }
-    ft.step_tab.resize((size_t)n_nodes * 256);
-    ft.sym_tab.resize((size_t)n_nodes * 256 * 8);
+    ft.step_tab.reset(new int32_t[(size_t)n_nodes * 256]);
+    ft.sym_tab.reset(new uint8_t[(size_t)n_nodes * 256 * 8]);
     TSAN_HB_RELEASE();
     #ifdef _OPENMP
     #pragma omp parallel for schedule(static)
@@ -901,8 +935,8 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
     // is a single dependent load per byte (see FsmTables).
     FsmTables ft;
     build_fsm_tables(syms, words, lens, n_entries, ft);
-    const std::vector<int32_t>& step_tab = ft.step_tab;
-    const std::vector<uint8_t>& sym_tab = ft.sym_tab;
+    const int32_t* step_tab = ft.step_tab.get();
+    const uint8_t* sym_tab = ft.sym_tab.get();
 
     const int64_t nbits = nbytes * 8;
     int64_t n_out = 0;
@@ -2306,8 +2340,9 @@ int64_t idct_recon_exact(const int32_t* czz, int64_t n_blocks,
 // and bit packing (Block.cpp:372-413).  Chunk-parallel like
 // huffman_pack_bytes: pass A computes per-block stats + chunk bit totals,
 // pass B streams fields through a 64-bit accumulator; the two shared
-// boundary bytes per chunk are atomic-ORs.  `out` must be zero-initialized
-// with the header prefix pre-placed; returns total bits or -1.
+// boundary bytes per chunk are atomic-ORs (zeroed up front via
+// zero_merge_bytes, so `out` may be uninitialized past the pre-placed
+// header prefix); returns total bits or -1.
 int64_t encode_pack_blocks(const int32_t* coeffs, int64_t n_blocks, int k,
                            int use_rle, int64_t start_bit, uint8_t* out,
                            int64_t out_cap) {
@@ -2351,6 +2386,7 @@ int64_t encode_pack_blocks(const int32_t* coeffs, int64_t n_blocks, int k,
         cstart[(size_t)ci + 1] += cstart[(size_t)ci];
     const int64_t total = cstart[(size_t)n_chunks];
     if ((total + 7) / 8 > out_cap) return -1;
+    zero_merge_bytes(out, cstart.data(), n_chunks + 1);
 
     TSAN_HB_RELEASE();
     #ifdef _OPENMP
@@ -2373,7 +2409,9 @@ int64_t encode_pack_blocks(const int32_t* coeffs, int64_t n_blocks, int k,
 // zig-zag (dct_quantize_exact semantics), RLE stats, then motion-vector
 // fields (x, y per MacroBlock, Block.cpp:416-423) followed by the
 // chunk-parallel block-record emit, all at bit offset `start_bit` of the
-// shared zero-initialized stream buffer.  With `recon` non-null the
+// shared stream buffer (uninitialized OK — merge-target bytes are zeroed
+// up front, every other touched byte is plain-stored).  With `recon`
+// non-null the
 // reconstruction (pred + dequantized residual, clamped — the encoder's own
 // decode, ImageBase.cpp:266-306) is also produced for the next P-frame's
 // reference.  pred == null encodes an I-frame (no mvecs, pixels direct).
@@ -2576,6 +2614,16 @@ int64_t encode_frame_pack(const uint8_t* cur, const uint8_t* pred,
         cstart[(size_t)ci + 1] += cstart[(size_t)ci];
     const int64_t total = cstart[(size_t)n_chunks];
     if ((total + 7) / 8 > out_cap) return -1;
+    {
+        // Merge-target zeroing so `out` may be uninitialized: segment
+        // edges are the mvec run (when present) plus every chunk boundary.
+        std::vector<int64_t> bnds;
+        bnds.reserve((size_t)n_chunks + 2);
+        bnds.push_back(start_bit);
+        for (int ci = 0; ci <= n_chunks; ci++)
+            bnds.push_back(cstart[(size_t)ci]);
+        zero_merge_bytes(out, bnds.data(), (int)bnds.size());
+    }
 
     if (mv_bits) {  // all mvecs precede the residual blocks (Frame.cpp:229)
         BitEmitter em(out, start_bit);
@@ -2615,7 +2663,8 @@ int64_t encode_frame_pack(const uint8_t* cur, const uint8_t* pred,
 
 // Huffman-encode payload bytes through a 256-entry (code, len <= 15) LUT
 // into `out` starting at bit `start_bit` (the serialized dict, already
-// written by the caller into the zero-initialized `out`).  Chunk-parallel:
+// written by the caller; the rest of `out` may be uninitialized).
+// Chunk-parallel:
 // per-chunk bit offsets come from a lens-LUT prefix pass; interior bytes
 // are exclusively owned, the two shared boundary bytes per chunk are
 // atomic-ORs.  Returns total bits, or -1 if out_cap would be exceeded.
@@ -2650,6 +2699,7 @@ int64_t huffman_pack_bytes(const uint8_t* data, int64_t n,
         cstart[(size_t)ci + 1] += cstart[(size_t)ci];
     const int64_t total = cstart[(size_t)n_chunks];
     if ((total + 7) / 8 > out_cap) return -1;
+    zero_merge_bytes(out, cstart.data(), n_chunks + 1);
 
     TSAN_HB_RELEASE();
     #ifdef _OPENMP
@@ -2707,6 +2757,7 @@ int64_t pack_fields(const int64_t* values, const int32_t* nbits, int64_t m,
         for (int ci = 0; ci < n_chunks; ci++)
             cstart[(size_t)ci + 1] += cstart[(size_t)ci];
         if ((cstart[(size_t)n_chunks] + 7) / 8 > out_cap) return -1;
+        zero_merge_bytes(out, cstart.data(), n_chunks + 1);
 
         TSAN_HB_RELEASE();
         #pragma omp parallel for schedule(static)
