@@ -143,7 +143,9 @@ def encode_image(img: np.ndarray, quant: QuantMatrix, use_rle: bool = True,
                     img, None, quant.as_float(), wf, scale, None,
                     zigzag_order(block_size), block_size, use_rle, None, 0,
                     None, writer.position, out)
-            inner = out[:(total + 7) // 8].tobytes()
+            # Zero-copy view: huffman_encode and the bytes conversion
+            # below only need the buffer protocol.
+            inner = out[:(total + 7) // 8]
         except Exception as e:
             from ..runtime.native import warn_fallback
             warn_fallback("encode_frame_pack_image", e)
@@ -171,7 +173,7 @@ def encode_image(img: np.ndarray, quant: QuantMatrix, use_rle: bool = True,
 
         with profiling.stage("huffman"):
             return huffman_encode(inner)
-    return inner
+    return inner.tobytes() if isinstance(inner, np.ndarray) else inner
 
 
 def walk_block_offsets(bits: np.ndarray | None, start_bit: int,
@@ -358,16 +360,21 @@ def decode_image(data: bytes, norm: str = "reference", backend: str = "numpy",
             if img is not None:
                 return img
     if data[0] & 0x80:  # Huffman flag bit (stream is MSB-first)
-        from ..ops.huffman import huffman_decode
+        from ..ops.huffman import huffman_decode_view
 
         with profiling.stage("huffman decode"):
-            payload = huffman_decode(data)
+            # Zero-copy uint8 view on the native path — the walk/extract
+            # below only need the buffer protocol.
+            payload = huffman_decode_view(data)
         start = 0
     else:
         payload, start = data, 1
 
     # Header (quant matrix + dims) is tiny; parse it from a prefix.
-    reader = BitReader(payload[:65536], position=start)
+    head = payload[:65536]
+    if isinstance(head, np.ndarray):
+        head = head.tobytes()
+    reader = BitReader(head, position=start)
     quant, use_rle, w, h = read_image_header(reader, block_size)
     n_blocks = (w // block_size) * (h // block_size)
 

@@ -213,7 +213,9 @@ def _encode_video_host_native(frames, quant: QuantMatrix, use_rle: bool,
                 mv, mb, recon, pos, out)
             ref = cur if ref_mode == "raw" else recon
         Logger.progress(f + 1, n_frames)
-    return out[:(pos + 7) // 8].tobytes()
+    # Zero-copy view: the caller's huffman_encode only needs the buffer
+    # protocol, and the no-huffman return converts at the API boundary.
+    return out[:(pos + 7) // 8]
 
 
 def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
@@ -344,7 +346,7 @@ def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
                 from ..ops.huffman import huffman_encode
 
                 return huffman_encode(inner)
-            return inner
+            return inner.tobytes() if isinstance(inner, np.ndarray) else inner
 
     ref: np.ndarray | None = None  # previous frame (raw, or recon P)
     field_vals = [np.asarray(writer.values, dtype=np.int64)]

@@ -254,7 +254,8 @@ def walk_offsets_native(bits: np.ndarray, start_bit: int, n_blocks: int,
     return offs, dbits, counts, int(end)
 
 
-def huffman_fsm_decode_native(data: bytes, start_bit: int, entries) -> bytes:
+def huffman_fsm_decode_native(data: bytes, start_bit: int, entries,
+                              as_array: bool = False):
     lib = _load()
     if lib is None:
         raise ImportError("native runtime not built")
@@ -273,7 +274,7 @@ def huffman_fsm_decode_native(data: bytes, start_bit: int, entries) -> bytes:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(out))
     if n < 0:
         raise ValueError("native huffman decode failed")
-    return out[:n].tobytes()
+    return out[:n] if as_array else out[:n].tobytes()
 
 
 def read_signed_fields_native(data: bytes, start_bit: int, n: int,
