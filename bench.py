@@ -172,15 +172,17 @@ raw = np.fromfile("/root/reference/bin/ex4.raw", np.uint8).reshape(912, 4096)
 quant = QuantMatrix.from_file("/root/reference/bin/matrix.txt")
 enc = encode_image(raw, quant, use_rle=True, use_huffman=True,
                    backend="numpy")
+# min over more reps: host timings on this VM drift +-40% with neighbor
+# load (CLAUDE.md "A/B methodology"); min is the stable statistic.
 t = best(lambda: encode_image(raw, quant, use_rle=True, use_huffman=True,
-                              backend="numpy"), 5)
+                              backend="numpy"), 12)
 out = {"host_encode_ms": round(t * 1e3, 1),
        "host_encode_mpix_s": round(raw.size / t / 1e6, 1)}
 # Interleaved reps: "fast" aliases the exact engine since round 4, so the
 # two must only differ by noise — alternating keeps drift from inverting
 # the labels.
 dts = {"fast": [], "numpy": []}
-for _ in range(5):
+for _ in range(8):
     for be in ("fast", "numpy"):
         t0 = time.perf_counter()
         decode_image(enc, backend=be)
@@ -199,10 +201,10 @@ vd = b"".join(fr)
 venc = encode_video(vd, vw, vh, quant, True, 4, 16, use_huffman=True,
                     backend="numpy")
 vt = best(lambda: encode_video(vd, vw, vh, quant, True, 4, 16,
-                               use_huffman=True, backend="numpy"), 3)
+                               use_huffman=True, backend="numpy"), 5)
 out["host_video_encode_mpix_s"] = round(vw * vh * nf / vt / 1e6, 2)
 decode_video(venc, backend="fast", workers=4)  # warm the thread pool
-dt = best(lambda: decode_video(venc, backend="fast", workers=4), 3)
+dt = best(lambda: decode_video(venc, backend="fast", workers=4), 5)
 out["video_decode_fast_mpix_s"] = round(vw * vh * nf / dt / 1e6, 2)
 print(json.dumps(out))
 """
