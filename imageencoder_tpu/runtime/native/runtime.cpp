@@ -482,7 +482,16 @@ static void build_fsm_tables(const int32_t* syms, const int32_t* words,
     ft.n_nodes = n_nodes;
     std::vector<int32_t> step4((size_t)n_nodes * 16);
     std::vector<uint8_t> sym4((size_t)n_nodes * 16 * 4);
+    // Only INTERNAL nodes (and the root) can ever be a walk state: a step
+    // that lands on a leaf emits the symbol and resets to the root before
+    // the state is stored (both below and in fsm_walk_to_alignment), so
+    // leaf rows — half the table for a full 256-symbol tree — are never
+    // read and need not be built.
+    const auto is_state = [&](int st) {
+        return st == 0 || ft.symbol[st] < 0;
+    };
     for (int st = 0; st < n_nodes; st++) {
+        if (!is_state(st)) continue;
         for (int nib = 0; nib < 16; nib++) {
             int32_t nd = st;
             int c = 0;
@@ -508,6 +517,7 @@ static void build_fsm_tables(const int32_t* syms, const int32_t* words,
     #endif
     for (int st = 0; st < n_nodes; st++) {
         TSAN_HB_ACQUIRE();
+        if (!is_state(st)) { TSAN_HB_RELEASE(); continue; }
         for (int by = 0; by < 256; by++) {
             const int32_t e1 = step4[(size_t)st * 16 + (by >> 4)];
             const int c1 = e1 & 15;
