@@ -215,7 +215,9 @@ def _encode_video_host_native(frames, quant: QuantMatrix, use_rle: bool,
         Logger.progress(f + 1, n_frames)
     # Zero-copy view: the caller's huffman_encode only needs the buffer
     # protocol, and the no-huffman return converts at the API boundary.
-    return out[:(pos + 7) // 8]
+    # The bit position comes along for headerless callers (the checkpoint
+    # GOP-payload path needs the exact bit length of its segment).
+    return out[:(pos + 7) // 8], pos
 
 
 def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
@@ -335,9 +337,10 @@ def encode_video(data: bytes, width: int, height: int, quant: QuantMatrix,
         # buffer (runtime.cpp::encode_frame_pack) — no int64 field tensors,
         # no whole-video concatenate.  Bit-identical to the fallback chain.
         try:
-            inner = _encode_video_host_native(frames, quant, use_rle, gop,
-                                              merange, norm, ref_mode,
-                                              block_size, writer)
+            inner, _ = _encode_video_host_native(frames, quant, use_rle,
+                                                 gop, merange, norm,
+                                                 ref_mode, block_size,
+                                                 writer)
         except Exception as e:
             from ..runtime.native import warn_fallback
             warn_fallback("encode_video_native", e)

@@ -25,7 +25,7 @@ import zlib
 import numpy as np
 
 from ..models.headers import VideoParams, write_image_header, write_video_params
-from ..models.video import mvec_bits, split_yuv420
+from ..models.video import BLOCK_SIZE, mvec_bits, split_yuv420
 from ..ops import bitpack
 from ..ops.bitpack import BitWriter
 from ..utils.logger import Logger
@@ -41,6 +41,24 @@ def _gop_slices(n_frames: int, gop: int):
 def _encode_gop_payload(frames, quant, use_rle, merange, norm, backend,
                         ref_mode, first_is_i=True):
     """Bit payload for one GOP (I-frame + following P-frames)."""
+    if first_is_i and backend == "numpy":
+        # One-pass native back end (runtime.cpp::encode_frame_pack), the
+        # same engine encode_video uses: a GOP payload is the headerless
+        # frame stream starting at bit 0 with gop == len(frames), so the
+        # segment bits are identical to the field-tensor chain below
+        # (pinned by test_checkpoint against a straight encode_video).
+        try:
+            from ..models.video import _encode_video_host_native
+
+            fr = np.ascontiguousarray(np.stack(frames))
+            buf, nbits_total = _encode_video_host_native(
+                fr, quant, use_rle, len(frames), merange, norm,
+                ref_mode, BLOCK_SIZE, BitWriter())
+            return buf.tobytes(), nbits_total
+        except Exception as e:
+            from ..runtime.native import warn_fallback
+            warn_fallback("encode_gop_payload", e)
+
     from ..models.video import _frame_fields, _residual_fields_and_recon
     from ..ops.motion import find_motion, predict_image
 
