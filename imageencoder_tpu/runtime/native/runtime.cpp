@@ -72,7 +72,7 @@ struct BitReader {
         uint32_t v = 0;
         for (int i = 0; i < n; i++) {
             uint32_t bit = 0;
-            if (pos < nbits) {
+            if (pos >= 0 && pos < nbits) {  // out-of-range reads return 0
                 bit = (data[pos >> 3] >> (7 - (pos & 7))) & 1u;
             }
             v = (v << 1) | bit;
@@ -886,27 +886,26 @@ int64_t tune_host_allocator() {
     return 0;
 }
 
-// Returns the bit position after the last block, or -1 on error.
-int64_t walk_offsets(const uint8_t* data, int64_t nbytes, int64_t start_bit,
-                     int64_t n_blocks, int use_rle, int block_size,
-                     int64_t* out_offsets, int32_t* out_bits,
-                     int32_t* out_counts) {
-    const int64_t k = (int64_t)block_size * block_size;
-    int64_t pos = start_bit;
-    int64_t i = 0;
-    // Fast path: one unaligned big-endian 64-bit load covers the 4-bit
-    // width and the <=15-bit count (<= 19 bits even at a 7-bit phase), so
-    // each record costs one load + shifts instead of up to 19 dependent
-    // per-bit reads.  Bail to the safe bit reader when a load could
-    // overrun the buffer (reads past the end must return 0 bits,
-    // reference BitStream.cpp:14-28).
-    for (; i < n_blocks; i++) {
-        if (pos < 0 || (pos >> 3) + 9 > nbytes) break;
+namespace {
+
+// One record step of the decode offset walk, shared by the serial walk
+// and the speculative chunk walkers so their parses are identical by
+// construction.  Fast path: one unaligned big-endian 64-bit load covers
+// the 4-bit width and the <=15-bit count (<= 19 bits even at a 7-bit
+// phase); bails to the safe bit reader when a load could overrun the
+// buffer (reads past the end must return 0 bits, BitStream.cpp:14-28).
+// Returns the position after the record's payload.
+static inline int64_t walk_step(const uint8_t* data, int64_t nbytes,
+                                int64_t pos, int use_rle, int64_t k,
+                                int32_t* b_o, int32_t* cnt_o,
+                                int64_t* off_o) {
+    uint32_t b;
+    int64_t count;
+    if (pos >= 0 && (pos >> 3) + 9 <= nbytes) {
         uint64_t w;
         std::memcpy(&w, data + (pos >> 3), 8);
         w = __builtin_bswap64(w) << (pos & 7);
-        const uint32_t b = (uint32_t)(w >> 60);
-        int64_t count;
+        b = (uint32_t)(w >> 60);
         if (use_rle) {
             count = b ? (int64_t)((w << 4) >> (64 - b)) : 0;
             pos += 4 + b;
@@ -914,21 +913,210 @@ int64_t walk_offsets(const uint8_t* data, int64_t nbytes, int64_t start_bit,
             count = k;
             pos += 4;
         }
-        out_offsets[i] = pos;
-        out_bits[i] = (int32_t)b;
-        out_counts[i] = (int32_t)count;
-        pos += (int64_t)b * count;
+    } else {
+        BitReader r{data, nbytes * 8, pos};
+        b = r.get(4);
+        count = use_rle ? (int64_t)r.get((int)b) : k;
+        pos = r.pos;
     }
-    BitReader r{data, nbytes * 8, pos};
-    for (; i < n_blocks; i++) {
-        const uint32_t b = r.get(4);
-        const int64_t count = use_rle ? (int64_t)r.get((int)b) : k;
-        out_offsets[i] = r.pos;
-        out_bits[i] = (int32_t)b;
-        out_counts[i] = (int32_t)count;
-        r.pos += (int64_t)b * count;
+    *b_o = (int32_t)b;
+    *cnt_o = (int32_t)count;
+    *off_o = pos;
+    return pos + (int64_t)b * count;
+}
+
+struct WalkRec {  // speculative chunk walker storage (8 B/record)
+    uint32_t rel_off;  // payload offset relative to the chunk's start bit
+    uint16_t b;
+    uint16_t cnt;
+};
+
+}  // namespace
+
+// Returns the bit position after the last block, or -1 on error.
+//
+// The walk is the decode side's one true serial dependency chain (block
+// N's start depends on every previous record's width/count,
+// ImageDecoder.cpp:88-113).  Like the Huffman byte-FSM above, it is
+// parallelized SPECULATIVELY: the record parse is a pure function of the
+// bit position, so a chunk walker that starts at the chunk boundary (in
+// general mid-record, i.e. wrong) becomes exactly right from the first
+// position that coincides with a true record start.  The serial stitch
+// steps true records from the chunk's real entry position until one
+// matches a walker-visited start (usually within a few records —
+// a wrong step lands at an ~uniform bit phase, and record starts are
+// dense), then adopts the walker's stored records wholesale; a chunk
+// that never syncs (or overflows its record budget on adversarial
+// input) is simply walked serially.  Bit-exact by construction.
+int64_t walk_offsets(const uint8_t* data, int64_t nbytes, int64_t start_bit,
+                     int64_t n_blocks, int use_rle, int block_size,
+                     int64_t* out_offsets, int32_t* out_bits,
+                     int32_t* out_counts) {
+    const int64_t k = (int64_t)block_size * block_size;
+    const int64_t nbits = nbytes * 8;
+
+#ifdef _OPENMP
+    const int n_threads = omp_get_max_threads();
+    if (n_blocks >= 32768 && n_threads > 1 && start_bit >= 0
+        && nbits > start_bit && nbits - start_bit < ((int64_t)1 << 31)) {
+        // (span bound keeps the chunk-relative offsets in 32 bits)
+        constexpr int WG = 4;  // interleaved walkers per thread (the
+                               // per-record dependent-load chain is ~13
+                               // cycles; independent chains hide it)
+        const int n_chunks = WG * n_threads;
+        const int64_t span = nbits - start_bit;
+        const int64_t per = (span + n_chunks - 1) / n_chunks;
+        // Record budget per chunk: generous for real streams (whose
+        // records average tens of bits), tiny vs worst case (4-bit
+        // records) — an overflowing walker just marks its chunk unsynced.
+        const int64_t cap = 2 * (n_blocks / n_chunks) + 8192;
+        // Uninitialized on purpose: only the n_rec[ci] prefix of each
+        // chunk's slice is ever read.
+        std::unique_ptr<WalkRec[]> recs(
+            new WalkRec[(size_t)n_chunks * cap]);
+        std::vector<int64_t> n_rec(n_chunks), exit_pos(n_chunks);
+        const auto lo_of = [&](int ci) { return start_bit + (int64_t)ci * per; };
+        const auto hi_of = [&](int ci) {
+            const int64_t hi = lo_of(ci) + per;
+            return hi < nbits ? hi : nbits;
+        };
+
+        TSAN_HB_RELEASE();
+        #pragma omp parallel for schedule(static)
+        for (int g = 0; g < n_threads; g++) {
+            TSAN_HB_ACQUIRE();
+            // WG chunks walked in lockstep so the chains overlap.
+            int64_t pos[WG], nr[WG], hi[WG];
+            WalkRec* st[WG];
+            bool live_any = true;
+            for (int j = 0; j < WG; j++) {
+                const int ci = g * WG + j;
+                pos[j] = lo_of(ci);
+                hi[j] = hi_of(ci);
+                nr[j] = 0;
+                st[j] = recs.get() + (size_t)ci * cap;
+            }
+            while (live_any) {
+                live_any = false;
+                for (int j = 0; j < WG; j++) {
+                    if (pos[j] >= hi[j] || nr[j] >= cap) continue;
+                    live_any = true;
+                    int32_t b, cnt;
+                    int64_t off;
+                    const int64_t nxt = walk_step(data, nbytes, pos[j],
+                                                  use_rle, k, &b, &cnt, &off);
+                    WalkRec& rc = st[j][nr[j]++];
+                    rc.rel_off = (uint32_t)(off - lo_of(g * WG + j));
+                    rc.b = (uint16_t)b;
+                    rc.cnt = (uint16_t)cnt;
+                    pos[j] = nxt;
+                }
+            }
+            for (int j = 0; j < WG; j++) {
+                const int ci = g * WG + j;
+                n_rec[ci] = nr[j];
+                exit_pos[ci] = pos[j];
+            }
+            TSAN_HB_RELEASE();
+        }
+        TSAN_HB_ACQUIRE();
+
+        // Serial stitch: step true records from each chunk's real entry
+        // until a walker-visited start matches, then adopt the walker's
+        // tail.  sync_at[ci] = walker record index adopted from;
+        // base[ci] = global record index of that adoption.
+        std::vector<int64_t> sync_at(n_chunks, -1), base(n_chunks, 0),
+            take(n_chunks, 0);
+        int64_t pos = start_bit, i = 0;
+        for (int ci = 0; ci < n_chunks && i < n_blocks; ci++) {
+            const int64_t lo = lo_of(ci), hi = hi_of(ci);
+            if (pos >= hi) continue;  // a record straddles this whole chunk
+            if (pos == lo && n_rec[ci] > 0) {
+                // Entry coincides with the walker's own start (always true
+                // for chunk 0): adopt everything without stepping.
+                sync_at[ci] = 0;
+            } else {
+                // Step true records, scanning the walker's increasing
+                // starts with a moving pointer.  A stored record's start
+                // is its payload offset minus its header width.
+                int64_t j = 0;
+                while (pos < hi && i < n_blocks) {
+                    const int64_t rel = pos - lo;
+                    while (j < n_rec[ci]) {
+                        const WalkRec& rc = recs[(size_t)ci * cap + j];
+                        const int64_t s = (int64_t)rc.rel_off - 4
+                                          - (use_rle ? rc.b : 0);
+                        if (s >= rel) break;
+                        j++;
+                    }
+                    if (j < n_rec[ci]) {
+                        const WalkRec& rc = recs[(size_t)ci * cap + j];
+                        const int64_t s = (int64_t)rc.rel_off - 4
+                                          - (use_rle ? rc.b : 0);
+                        if (s == rel) { sync_at[ci] = j; break; }
+                    }
+                    int32_t b, cnt;
+                    int64_t off;
+                    pos = walk_step(data, nbytes, pos, use_rle, k, &b, &cnt,
+                                    &off);
+                    out_offsets[i] = off;
+                    out_bits[i] = b;
+                    out_counts[i] = cnt;
+                    i++;
+                }
+            }
+            if (sync_at[ci] >= 0) {
+                base[ci] = i;
+                const int64_t avail = n_rec[ci] - sync_at[ci];
+                const int64_t want = n_blocks - i;
+                take[ci] = avail < want ? avail : want;
+                i += take[ci];
+                if (take[ci] == avail) {
+                    pos = exit_pos[ci];
+                } else {  // clipped at n_blocks: end after the last taken
+                    const WalkRec& rc =
+                        recs[(size_t)ci * cap + sync_at[ci] + take[ci] - 1];
+                    pos = lo + (int64_t)rc.rel_off
+                          + (int64_t)rc.b * (int64_t)rc.cnt;
+                }
+            }
+        }
+        // Anything left (stream shorter than n_blocks records, or every
+        // tail chunk unsynced): plain serial walk — reads past the end
+        // return 0 bits, exactly like the reference.
+        for (; i < n_blocks; i++) {
+            pos = walk_step(data, nbytes, pos, use_rle, k, &out_bits[i],
+                            &out_counts[i], &out_offsets[i]);
+        }
+        const int64_t end = pos;
+
+        // Placement: copy each chunk's adopted tail into the output
+        // arrays (parallel; indices disjoint by construction).
+        TSAN_HB_RELEASE();
+        #pragma omp parallel for schedule(static)
+        for (int ci = 0; ci < n_chunks; ci++) {
+            TSAN_HB_ACQUIRE();
+            if (take[ci] <= 0) { TSAN_HB_RELEASE(); continue; }
+            const int64_t lo = lo_of(ci);
+            const WalkRec* src = recs.get() + (size_t)ci * cap + sync_at[ci];
+            for (int64_t t = 0; t < take[ci]; t++) {
+                out_offsets[base[ci] + t] = lo + (int64_t)src[t].rel_off;
+                out_bits[base[ci] + t] = src[t].b;
+                out_counts[base[ci] + t] = src[t].cnt;
+            }
+            TSAN_HB_RELEASE();
+        }
+        TSAN_HB_ACQUIRE();
+        return end;
     }
-    return r.pos;
+#endif
+
+    int64_t pos = start_bit;
+    for (int64_t i = 0; i < n_blocks; i++) {
+        pos = walk_step(data, nbytes, pos, use_rle, k, &out_bits[i],
+                        &out_counts[i], &out_offsets[i]);
+    }
+    return pos;
 }
 
 // Decodes all bits from start_bit to the end of the buffer through the code

@@ -82,3 +82,60 @@ def test_walk_block8():
     for r, g in zip(ref[:3], got[:3]):
         assert np.array_equal(r, g)
     assert ref[3] == got[3]
+
+
+# ---- speculative chunk-parallel walk (round 5) ----
+#
+# walk_offsets parallelizes past 32768 records: chunk walkers start at
+# chunk boundaries (in general mid-record) and the serial stitch adopts a
+# walker's records from the first position that coincides with a true
+# record start.  These tests force that path and its fallbacks.
+
+@pytest.mark.parametrize("use_rle", [True, False])
+@pytest.mark.parametrize("start_bit", [0, 13])
+def test_walk_speculative_matches_reference(use_rle, start_bit):
+    rng = np.random.default_rng(42)
+    # Large random stream: >= 32768 records engages the speculative path.
+    packed = rng.integers(0, 256, 4_000_000, np.uint8).tobytes()
+    n_blocks = 50_000
+    ref = _ref_walk(packed, start_bit, n_blocks, use_rle, 4)
+    got = walk_offsets_native(None, start_bit, n_blocks, use_rle, 4,
+                              packed=packed)
+    for r, g in zip(ref[:3], got[:3]):
+        assert np.array_equal(r, g)
+    assert ref[3] == got[3]
+
+
+def test_walk_speculative_record_budget_overflow():
+    # Adversarial skew: 40k giant records then 40k minimal 4-bit records.
+    # The tiny records all land in one or two bit-chunks, overflowing the
+    # per-chunk record budget — those chunks must fall back to the serial
+    # stitch and still come out bit-exact.
+    from imageencoder_tpu.ops.bitpack import pack_fields
+
+    vals, nbits = [], []
+    for _ in range(40_000):
+        vals += [15, 16] + [0x5555] * 16
+        nbits += [4, 15] + [15] * 16
+    vals += [0] * 40_000
+    nbits += [4] * 40_000
+    packed, total = pack_fields(np.array(vals, np.int64),
+                                np.array(nbits, np.int64))
+    ref = _ref_walk(packed, 0, 80_000, True, 4)
+    got = walk_offsets_native(None, 0, 80_000, True, 4, packed=packed)
+    for r, g in zip(ref[:3], got[:3]):
+        assert np.array_equal(r, g)
+    assert ref[3] == got[3]
+
+
+def test_walk_speculative_truncated_stream():
+    # n_blocks far beyond the buffer: the walk must run past the end
+    # reading 0 bits for the tail records, exactly like the serial path.
+    rng = np.random.default_rng(7)
+    packed = rng.integers(0, 256, 300_000, np.uint8).tobytes()
+    n_blocks = 60_000
+    ref = _ref_walk(packed, 5, n_blocks, True, 4)
+    got = walk_offsets_native(None, 5, n_blocks, True, 4, packed=packed)
+    for r, g in zip(ref[:3], got[:3]):
+        assert np.array_equal(r, g)
+    assert ref[3] == got[3]
