@@ -604,8 +604,20 @@ static inline void idctk_accum_avx512(const int32_t* cf,
                                       const double* wi, __m512d* a) {
     constexpr int NV = K / 8;
     for (int v = 0; v < NV; v++) a[v] = _mm512_setzero_pd();
-    for (int c = 0; c < K; c++) {
-        if (cf[c] == 0) continue;
+    // Nonzero set via one vector test, then tzcnt iteration: the old
+    // per-coefficient `continue` branch mispredicted on data-dependent
+    // sparsity (typical blocks are ~2/3 zeros in no recognizable
+    // pattern); the while-loop branch below is right every time but the
+    // last.  Ascending-bit order == ascending c, so the accumulation
+    // stays BIT-IDENTICAL.
+    uint64_t m = 0;
+    for (int g = 0; g < K / 16; g++) {
+        const __m512i cv = _mm512_loadu_si512(cf + 16 * g);
+        m |= (uint64_t)_mm512_test_epi32_mask(cv, cv) << (16 * g);
+    }
+    while (m) {
+        const int c = (int)__builtin_ctzll(m);
+        m &= m - 1;
         const double y = (double)cf[c] * quant[c];
         const __m512d yv = _mm512_set1_pd(y);
         const double* wr = wi + (size_t)c * K;
