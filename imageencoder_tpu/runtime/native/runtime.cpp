@@ -604,20 +604,13 @@ static inline void idctk_accum_avx512(const int32_t* cf,
                                       const double* wi, __m512d* a) {
     constexpr int NV = K / 8;
     for (int v = 0; v < NV; v++) a[v] = _mm512_setzero_pd();
-    // Nonzero set via one vector test, then tzcnt iteration: the old
-    // per-coefficient `continue` branch mispredicted on data-dependent
-    // sparsity (typical blocks are ~2/3 zeros in no recognizable
-    // pattern); the while-loop branch below is right every time but the
-    // last.  Ascending-bit order == ascending c, so the accumulation
-    // stays BIT-IDENTICAL.
-    uint64_t m = 0;
-    for (int g = 0; g < K / 16; g++) {
-        const __m512i cv = _mm512_loadu_si512(cf + 16 * g);
-        m |= (uint64_t)_mm512_test_epi32_mask(cv, cv) << (16 * g);
-    }
-    while (m) {
-        const int c = (int)__builtin_ctzll(m);
-        m &= m - 1;
+    // The per-coefficient skip branch predicts well: cf is in row-major
+    // order, and which frequencies are nonzero is stable across blocks
+    // (low frequencies live, high dead).  A tzcnt-over-nonzero-mask
+    // variant was A/B'd ~4% SLOWER (min 3.61 -> 3.76 ms on ex4) — the
+    // branches were never the cost.
+    for (int c = 0; c < K; c++) {
+        if (cf[c] == 0) continue;
         const double y = (double)cf[c] * quant[c];
         const __m512d yv = _mm512_set1_pd(y);
         const double* wr = wi + (size_t)c * K;
@@ -982,115 +975,166 @@ int64_t walk_offsets(const uint8_t* data, int64_t nbytes, int64_t start_bit,
         // records average tens of bits), tiny vs worst case (4-bit
         // records) — an overflowing walker just marks its chunk unsynced.
         const int64_t cap = 2 * (n_blocks / n_chunks) + 8192;
+        const int64_t max_steps = cap + (cap >> 1);  // parse-work bound
+        constexpr int CS_CAP = 256;  // chain segments per chunk
         // Uninitialized on purpose: only the n_rec[ci] prefix of each
         // chunk's slice is ever read.
         std::unique_ptr<WalkRec[]> recs(
             new WalkRec[(size_t)n_chunks * cap]);
-        std::vector<int64_t> n_rec(n_chunks), exit_pos(n_chunks);
+        // Chain segments: a walker's stored records form contiguous parse
+        // chains; a chain ends at an implausible parse (count > k — true
+        // records have count <= block elements) or at the chunk boundary.
+        // Only whole-chain suffixes are adoptable: records within a chain
+        // provably continue each other, across a break they do not.
+        std::vector<int32_t> ch_first((size_t)n_chunks * CS_CAP);
+        std::vector<int32_t> ch_n((size_t)n_chunks * CS_CAP);
+        std::vector<int64_t> ch_end((size_t)n_chunks * CS_CAP);
+        std::vector<int32_t> cs_n(n_chunks);
+        std::vector<int64_t> n_rec(n_chunks);
         const auto lo_of = [&](int ci) { return start_bit + (int64_t)ci * per; };
         const auto hi_of = [&](int ci) {
             const int64_t hi = lo_of(ci) + per;
             return hi < nbits ? hi : nbits;
         };
 
+        const bool dbg = getenv("IER_WALK_STATS") != nullptr;
+        const double t0 = dbg ? omp_get_wtime() : 0.0;
         TSAN_HB_RELEASE();
         #pragma omp parallel for schedule(static)
         for (int g = 0; g < n_threads; g++) {
             TSAN_HB_ACQUIRE();
-            // WG chunks walked in lockstep so the chains overlap.
-            int64_t pos[WG], nr[WG], hi[WG];
+            // WG chunks walked in lockstep so the dependent-load chains
+            // overlap.  A parse with count > k is provably garbage (the
+            // walker is mid-record): restart one bit later instead of
+            // following a bogus up-to-500kbit payload jump out of the
+            // chunk (the failure mode that de-synced 10/16 chunks in the
+            // first version of this walker).
+            int64_t pos[WG], nr[WG], hi[WG], lo[WG], steps[WG];
+            int32_t chain_first[WG], csn[WG];
             WalkRec* st[WG];
             bool live_any = true;
             for (int j = 0; j < WG; j++) {
                 const int ci = g * WG + j;
-                pos[j] = lo_of(ci);
+                lo[j] = lo_of(ci);
+                pos[j] = lo[j];
                 hi[j] = hi_of(ci);
                 nr[j] = 0;
+                steps[j] = 0;
+                chain_first[j] = -1;
+                csn[j] = 0;
                 st[j] = recs.get() + (size_t)ci * cap;
             }
+            const auto close_chain = [&](int j, int64_t end_bit) {
+                if (chain_first[j] < 0) return;
+                const int ci = g * WG + j;
+                const size_t s = (size_t)ci * CS_CAP + csn[j];
+                ch_first[s] = chain_first[j];
+                ch_n[s] = (int32_t)(nr[j] - chain_first[j]);
+                ch_end[s] = end_bit;
+                csn[j]++;
+                chain_first[j] = -1;
+            };
             while (live_any) {
                 live_any = false;
                 for (int j = 0; j < WG; j++) {
-                    if (pos[j] >= hi[j] || nr[j] >= cap) continue;
+                    if (pos[j] >= hi[j] || nr[j] >= cap
+                        || steps[j] >= max_steps || csn[j] >= CS_CAP)
+                        continue;
                     live_any = true;
+                    steps[j]++;
                     int32_t b, cnt;
                     int64_t off;
                     const int64_t nxt = walk_step(data, nbytes, pos[j],
                                                   use_rle, k, &b, &cnt, &off);
+                    if (use_rle && cnt > k) {  // provably mid-record
+                        close_chain(j, pos[j]);
+                        pos[j] += 1;
+                        continue;
+                    }
+                    if (chain_first[j] < 0) chain_first[j] = (int32_t)nr[j];
                     WalkRec& rc = st[j][nr[j]++];
-                    rc.rel_off = (uint32_t)(off - lo_of(g * WG + j));
+                    rc.rel_off = (uint32_t)(off - lo[j]);
                     rc.b = (uint16_t)b;
                     rc.cnt = (uint16_t)cnt;
                     pos[j] = nxt;
                 }
             }
             for (int j = 0; j < WG; j++) {
-                const int ci = g * WG + j;
-                n_rec[ci] = nr[j];
-                exit_pos[ci] = pos[j];
+                close_chain(j, pos[j]);
+                n_rec[g * WG + j] = nr[j];
+                cs_n[g * WG + j] = csn[j];
             }
             TSAN_HB_RELEASE();
         }
         TSAN_HB_ACQUIRE();
 
+        const double t1 = dbg ? omp_get_wtime() : 0.0;
+
         // Serial stitch: step true records from each chunk's real entry
-        // until a walker-visited start matches, then adopt the walker's
-        // tail.  sync_at[ci] = walker record index adopted from;
-        // base[ci] = global record index of that adoption.
+        // until a walker-visited start matches, then adopt the rest of
+        // that record's CHAIN (the suffix of one parse chain provably
+        // continues the true walk; across a restart break it does not —
+        // the stitch resumes serially at the chain's end, which on a
+        // well-formed stream only ever happens at the chunk boundary).
+        // sync_at[ci] = walker record index adopted from; base[ci] = its
+        // global record index.
         std::vector<int64_t> sync_at(n_chunks, -1), base(n_chunks, 0),
             take(n_chunks, 0);
         int64_t pos = start_bit, i = 0;
         for (int ci = 0; ci < n_chunks && i < n_blocks; ci++) {
             const int64_t lo = lo_of(ci), hi = hi_of(ci);
-            if (pos >= hi) continue;  // a record straddles this whole chunk
-            if (pos == lo && n_rec[ci] > 0) {
-                // Entry coincides with the walker's own start (always true
-                // for chunk 0): adopt everything without stepping.
-                sync_at[ci] = 0;
-            } else {
-                // Step true records, scanning the walker's increasing
-                // starts with a moving pointer.  A stored record's start
-                // is its payload offset minus its header width.
-                int64_t j = 0;
-                while (pos < hi && i < n_blocks) {
-                    const int64_t rel = pos - lo;
-                    while (j < n_rec[ci]) {
-                        const WalkRec& rc = recs[(size_t)ci * cap + j];
-                        const int64_t s = (int64_t)rc.rel_off - 4
-                                          - (use_rle ? rc.b : 0);
-                        if (s >= rel) break;
-                        j++;
-                    }
-                    if (j < n_rec[ci]) {
-                        const WalkRec& rc = recs[(size_t)ci * cap + j];
-                        const int64_t s = (int64_t)rc.rel_off - 4
-                                          - (use_rle ? rc.b : 0);
-                        if (s == rel) { sync_at[ci] = j; break; }
-                    }
-                    int32_t b, cnt;
-                    int64_t off;
-                    pos = walk_step(data, nbytes, pos, use_rle, k, &b, &cnt,
-                                    &off);
-                    out_offsets[i] = off;
-                    out_bits[i] = b;
-                    out_counts[i] = cnt;
-                    i++;
+            // Step true records, scanning the walker's increasing starts
+            // with a moving pointer.  A stored record's start is its
+            // payload offset minus its header width.
+            int64_t j = 0;
+            while (pos < hi && i < n_blocks) {
+                const int64_t rel = pos - lo;
+                while (j < n_rec[ci]) {
+                    const WalkRec& rc = recs[(size_t)ci * cap + j];
+                    const int64_t s = (int64_t)rc.rel_off - 4
+                                      - (use_rle ? rc.b : 0);
+                    if (s >= rel) break;
+                    j++;
                 }
+                if (j < n_rec[ci]) {
+                    const WalkRec& rc = recs[(size_t)ci * cap + j];
+                    const int64_t s = (int64_t)rc.rel_off - 4
+                                      - (use_rle ? rc.b : 0);
+                    if (s == rel) { sync_at[ci] = j; break; }
+                }
+                int32_t b, cnt;
+                int64_t off;
+                pos = walk_step(data, nbytes, pos, use_rle, k, &b, &cnt,
+                                &off);
+                out_offsets[i] = off;
+                out_bits[i] = b;
+                out_counts[i] = cnt;
+                i++;
             }
-            if (sync_at[ci] >= 0) {
-                base[ci] = i;
-                const int64_t avail = n_rec[ci] - sync_at[ci];
-                const int64_t want = n_blocks - i;
-                take[ci] = avail < want ? avail : want;
-                i += take[ci];
-                if (take[ci] == avail) {
-                    pos = exit_pos[ci];
-                } else {  // clipped at n_blocks: end after the last taken
-                    const WalkRec& rc =
-                        recs[(size_t)ci * cap + sync_at[ci] + take[ci] - 1];
-                    pos = lo + (int64_t)rc.rel_off
-                          + (int64_t)rc.b * (int64_t)rc.cnt;
-                }
+            if (sync_at[ci] < 0) continue;
+            // Locate the chain holding the synced record (few segments)
+            // and adopt its suffix.
+            const int32_t* cf = ch_first.data() + (size_t)ci * CS_CAP;
+            const int32_t* cn2 = ch_n.data() + (size_t)ci * CS_CAP;
+            int cs = 0;
+            while (cs < cs_n[ci] && sync_at[ci] >= cf[cs] + cn2[cs]) cs++;
+            if (cs >= cs_n[ci]) {  // defensive: every stored record has a
+                sync_at[ci] = -1;  // chain; never expected
+                continue;
+            }
+            const int64_t chain_end_rec = cf[cs] + cn2[cs];
+            base[ci] = i;
+            const int64_t avail = chain_end_rec - sync_at[ci];
+            const int64_t want = n_blocks - i;
+            take[ci] = avail < want ? avail : want;
+            i += take[ci];
+            if (take[ci] == avail) {
+                pos = ch_end[(size_t)ci * CS_CAP + cs];
+            } else {  // clipped at n_blocks: end after the last taken
+                const WalkRec& rc =
+                    recs[(size_t)ci * cap + sync_at[ci] + take[ci] - 1];
+                pos = lo + (int64_t)rc.rel_off
+                      + (int64_t)rc.b * (int64_t)rc.cnt;
             }
         }
         // Anything left (stream shorter than n_blocks records, or every
@@ -1101,6 +1145,7 @@ int64_t walk_offsets(const uint8_t* data, int64_t nbytes, int64_t start_bit,
                             &out_counts[i], &out_offsets[i]);
         }
         const int64_t end = pos;
+        const double t2 = dbg ? omp_get_wtime() : 0.0;
 
         // Placement: copy each chunk's adopted tail into the output
         // arrays (parallel; indices disjoint by construction).
@@ -1119,6 +1164,20 @@ int64_t walk_offsets(const uint8_t* data, int64_t nbytes, int64_t start_bit,
             TSAN_HB_RELEASE();
         }
         TSAN_HB_ACQUIRE();
+        if (dbg) {
+            int64_t serial_recs = 0;
+            for (int ci = 0; ci < n_chunks; ci++) serial_recs += take[ci];
+            fprintf(stderr,
+                    "[walk] pass1 %.3f ms  stitch %.3f ms  place %.3f ms  "
+                    "adopted %lld/%lld\n",
+                    (t1 - t0) * 1e3, (t2 - t1) * 1e3,
+                    (omp_get_wtime() - t2) * 1e3,
+                    (long long)serial_recs, (long long)n_blocks);
+            for (int ci = 0; ci < n_chunks; ci++)
+                fprintf(stderr, "  chunk %d: n_rec %lld sync_at %lld take %lld\n",
+                        ci, (long long)n_rec[ci], (long long)sync_at[ci],
+                        (long long)take[ci]);
+        }
         return end;
     }
 #endif
