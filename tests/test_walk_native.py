@@ -139,3 +139,29 @@ def test_walk_speculative_truncated_stream():
     for r, g in zip(ref[:3], got[:3]):
         assert np.array_equal(r, g)
     assert ref[3] == got[3]
+
+
+def test_walk_speculative_natural_stream():
+    # A real encoded payload (not random bytes) above the speculative
+    # threshold: natural record-size distribution, arbitrary start phase.
+    from imageencoder_tpu.models.image import encode_image, read_image_header
+    from imageencoder_tpu.ops.bitpack import BitReader
+    from imageencoder_tpu.utils.quant import QuantMatrix
+
+    rng = np.random.default_rng(3)
+    img = np.clip(
+        np.kron(rng.integers(0, 256, (75, 128)), np.ones((8, 8)))
+        + rng.normal(0, 6, (600, 1024)), 0, 255).astype(np.uint8)
+    quant = QuantMatrix.from_file("/root/reference/bin/matrix.txt")
+    enc = encode_image(img, quant, use_rle=True, use_huffman=False,
+                       backend="numpy")
+    r = BitReader(enc[:65536], position=1)
+    _, use_rle, w, h = read_image_header(r, 4)
+    n_blocks = (w // 4) * (h // 4)
+    assert n_blocks >= 32768  # speculative path engaged
+    ref = _ref_walk(enc, r.position, n_blocks, use_rle, 4)
+    got = walk_offsets_native(None, r.position, n_blocks, use_rle, 4,
+                              packed=enc)
+    for a, g in zip(ref[:3], got[:3]):
+        assert np.array_equal(a, g)
+    assert ref[3] == got[3]

@@ -186,8 +186,14 @@ def main() -> int:
         use_rle = pyrng.random() < 0.8
         kind = pyrng.choice(kinds)
         if pyrng.random() < 0.6:
-            h = 4 * int(rng.integers(1, 96))
-            w = 4 * int(rng.integers(1, 96))
+            if pyrng.random() < 0.1:
+                # Occasionally large: >= 32768 blocks engages the decode
+                # side's speculative chunk-parallel offset walk.
+                h = 4 * int(rng.integers(182, 300))
+                w = 4 * int(rng.integers(182, 300))
+            else:
+                h = 4 * int(rng.integers(1, 96))
+                w = 4 * int(rng.integers(1, 96))
             img = _content(rng, h, w, kind)
             ctx = f"img case={case} {h}x{w} rle={use_rle} {kind} {qname}"
             try:
