@@ -331,6 +331,23 @@ def validate_dict_entries(entries) -> None:
     """
     from ..utils.exceptions import StreamFormatError
 
+    try:  # native tree build (the Python loop below cost ~0.2 ms/decode)
+        from ..runtime.native import validate_huffman_dict_native
+
+        rc = validate_huffman_dict_native(entries)
+    except Exception:
+        rc = None  # fall through to the Python loop
+    if rc is not None:
+        if rc == 0:
+            return
+        if rc == -1:
+            raise StreamFormatError(
+                "invalid Huffman dictionary: zero-length code (the "
+                "reference encoder's 4-bit length-field wrap, 16 -> 0)")
+        raise StreamFormatError(
+            "invalid Huffman dictionary: duplicate code or a code that "
+            "extends/prefixes another (non-prefix dict)")
+
     children = [[-1, -1]]
     leaf = [False]
     for _sym, word, ln in entries:

@@ -93,6 +93,10 @@ def _register(lib) -> None:
     lib.huffman_code_lengths.restype = ctypes.c_longlong
     lib.huffman_code_lengths.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)]
+    lib.validate_huffman_dict.restype = ctypes.c_longlong
+    lib.validate_huffman_dict.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32]
     lib.parse_huffman_dict.restype = ctypes.c_longlong
     lib.parse_huffman_dict.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong, ctypes.c_longlong,
@@ -312,6 +316,24 @@ def huffman_code_lengths_native(freqs: np.ndarray) -> np.ndarray:
     if rc < 0:
         raise ValueError("need >= 2 distinct symbols")
     return out
+
+
+def validate_huffman_dict_native(entries) -> int:
+    """Strict prefix validation of parsed dict entries.
+
+    0 = valid; -1 = zero-length code; -2 = duplicate / non-prefix dict.
+    Same semantics as ops/huffman.py's Python loop (which stays as the
+    fallback); native because the per-bit tree build cost ~0.2 ms per
+    decode in Python.
+    """
+    lib = _load()
+    if lib is None:
+        raise ImportError("native runtime not built")
+    words = np.array([e[1] for e in entries], dtype=np.int32)
+    lens = np.array([e[2] for e in entries], dtype=np.int32)
+    return int(lib.validate_huffman_dict(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(entries)))
 
 
 def byte_histogram_native(data: bytes) -> np.ndarray:

@@ -1190,6 +1190,37 @@ int64_t walk_offsets(const uint8_t* data, int64_t nbytes, int64_t start_bit,
     return pos;
 }
 
+// Strict Huffman dict validation (ops/huffman.py::validate_dict_entries
+// semantics — that Python loop cost ~0.2 ms per decode).  Returns 0 for a
+// valid prefix dict; -1 zero-length code; -2 duplicate code, a code that
+// extends another, or a code that prefixes another.
+int64_t validate_huffman_dict(const int32_t* words, const int32_t* lens,
+                              int n_entries) {
+    std::vector<int32_t> child(2, -1);
+    std::vector<uint8_t> leaf(1, 0);
+    for (int e = 0; e < n_entries; e++) {
+        const int ln = lens[e];
+        if (ln < 1) return -1;
+        int32_t node = 0;
+        for (int k = ln - 1; k >= 0; k--) {
+            if (leaf[(size_t)node]) return -2;  // extends another code
+            const int bit = (words[e] >> k) & 1;
+            if (child[(size_t)node * 2 + bit] < 0) {
+                child[(size_t)node * 2 + bit] = (int32_t)leaf.size();
+                child.push_back(-1);
+                child.push_back(-1);
+                leaf.push_back(0);
+            }
+            node = child[(size_t)node * 2 + bit];
+        }
+        if (leaf[(size_t)node] || child[(size_t)node * 2] >= 0
+            || child[(size_t)node * 2 + 1] >= 0)
+            return -2;  // duplicate, or prefixes an existing code
+        leaf[(size_t)node] = 1;
+    }
+    return 0;
+}
+
 // Decodes all bits from start_bit to the end of the buffer through the code
 // tree defined by (syms, words, lens). Returns the number of output bytes,
 // or -1 if out_cap would be exceeded.
