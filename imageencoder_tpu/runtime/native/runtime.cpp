@@ -446,7 +446,7 @@ struct FsmTables {
     // Uninitialized buffers (not vectors): every entry is written by the
     // composition loop, and zero-filling the ~1.5 MB first cost a
     // measurable slice of the ~0.4 ms table build.
-    std::unique_ptr<int32_t[]> step_tab; // n_nodes * 256
+    std::unique_ptr<uint16_t[]> step_tab; // n_nodes * 256, (next_state << 4) | count: state <= 510 fits 9 bits
     std::unique_ptr<uint8_t[]> sym_tab;  // n_nodes * 256 * 8
     int n_nodes = 0;
 };
@@ -509,7 +509,7 @@ static void build_fsm_tables(const int32_t* syms, const int32_t* words,
             step4[(size_t)st * 16 + nib] = (nd << 4) | c;
         }
     }
-    ft.step_tab.reset(new int32_t[(size_t)n_nodes * 256]);
+    ft.step_tab.reset(new uint16_t[(size_t)n_nodes * 256]);
     ft.sym_tab.reset(new uint8_t[(size_t)n_nodes * 256 * 8]);
     TSAN_HB_RELEASE();
     #ifdef _OPENMP
@@ -528,7 +528,7 @@ static void build_fsm_tables(const int32_t* syms, const int32_t* words,
             std::memcpy(outs, &sym4[((size_t)st * 16 + (by >> 4)) * 4], 4);
             std::memcpy(outs + c1, &sym4[((size_t)s1 * 16 + (by & 15)) * 4],
                         4);  // may scribble past c1+c2 within the 8B entry
-            ft.step_tab[(size_t)st * 256 + by] = ((e2 >> 4) << 4) | (c1 + c2);
+            ft.step_tab[(size_t)st * 256 + by] = (uint16_t)(((e2 >> 4) << 4) | (c1 + c2));
         }
         TSAN_HB_RELEASE();
     }
@@ -1235,7 +1235,7 @@ int64_t huffman_fsm_decode(const uint8_t* data, int64_t nbytes,
     // is a single dependent load per byte (see FsmTables).
     FsmTables ft;
     build_fsm_tables(syms, words, lens, n_entries, ft);
-    const int32_t* step_tab = ft.step_tab.get();
+    const uint16_t* step_tab = ft.step_tab.get();
     const uint8_t* sym_tab = ft.sym_tab.get();
 
     const int64_t nbits = nbytes * 8;
