@@ -96,6 +96,21 @@ int main() {
                                      0, n_blocks, 1, (int)bs, offs.data(),
                                      dbv.data(), cnv.data());
     CHECK(end == total);
+    {
+        // Adversarial walk: pseudorandom bytes parse as garbage records
+        // (huge bogus counts) — exercises the speculative walkers'
+        // restart/chain-segment paths and the serial-stitch fallback
+        // under the sanitizers.
+        std::vector<uint8_t> junk(1 << 21);
+        uint32_t x = 0x9e3779b9u;
+        for (auto& b : junk) { x ^= x << 13; x ^= x >> 17; x ^= x << 5; b = (uint8_t)x; }
+        const int64_t jn = 50000;
+        std::vector<int64_t> joffs((size_t)jn);
+        std::vector<int32_t> jdb((size_t)jn), jcn((size_t)jn);
+        CHECK(walk_offsets(junk.data(), (int64_t)junk.size(), 5, jn, 1,
+                           (int)bs, joffs.data(), jdb.data(),
+                           jcn.data()) >= 0);
+    }
     double quant[16], wi[256];
     for (int i = 0; i < 16; i++) quant[i] = 1.0 + (i % 7);
     for (int i = 0; i < 256; i++) wi[i] = 0.01 * ((int)(i % 37) - 18);
